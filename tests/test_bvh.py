@@ -1,0 +1,87 @@
+"""BVH traversal validated hit-for-hit against the brute-force intersector
+(SURVEY.md §7.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.ops.bvh import build_bvh, intersect_bvh
+from vpt_tpu.ops.intersect import intersect_tris_brute
+
+
+def _random_tris(n, seed=0, scale=1.0):
+    r = np.random.RandomState(seed)
+    base = r.randn(n, 1, 3) * scale
+    offs = r.randn(n, 3, 3) * 0.1 * scale
+    return (base + offs).astype(np.float32)
+
+
+def _rays_at(target_lo, target_hi, n, seed=1):
+    r = np.random.RandomState(seed)
+    o = np.array([3.0, 2.0, 4.0], np.float32) + r.randn(n, 3).astype(np.float32) * 0.2
+    t = (target_lo + (target_hi - target_lo) * r.rand(n, 3)).astype(np.float32)
+    d = t - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d.astype(np.float32)
+
+
+def test_bvh_matches_brute_force_random():
+    tris = _random_tris(500)
+    bvh, perm = build_bvh(tris)
+    trisp = tris[perm]
+    o, d = _rays_at(tris.min((0, 1)), tris.max((0, 1)), 256)
+    bvh_d = jax.tree.map(jnp.asarray, bvh)
+    res = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o), jnp.asarray(d))
+    ref = intersect_tris_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(trisp),
+                               1e-4, 1e30)
+    assert np.array_equal(np.asarray(res["hit"]), np.asarray(ref["hit"]))
+    h = np.asarray(res["hit"])
+    assert h.sum() > 80  # rays actually hit
+    np.testing.assert_allclose(
+        np.asarray(res["dist"])[h], np.asarray(ref["dist"])[h], rtol=1e-5
+    )
+    # same triangle chosen (modulo exact ties, which argmin resolves equally)
+    assert (np.asarray(res["tri"])[h] == np.asarray(ref["tri"])[h]).mean() > 0.99
+
+
+def test_bvh_respects_tmax_and_tmin():
+    tris = _random_tris(100, seed=3)
+    bvh, perm = build_bvh(tris)
+    trisp = tris[perm]
+    o, d = _rays_at(tris.min((0, 1)), tris.max((0, 1)), 128, seed=4)
+    bvh_d = jax.tree.map(jnp.asarray, bvh)
+    full = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o), jnp.asarray(d))
+    h = np.asarray(full["hit"])
+    dist = np.asarray(full["dist"])
+    # shrink tmax just below each hit: those rays must now miss or hit farther?
+    # (closest-hit with smaller tmax must miss)
+    tmax = jnp.asarray(np.where(h, dist * 0.99, 1e30).astype(np.float32))
+    res2 = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o), jnp.asarray(d),
+                         tmax=tmax)
+    h2 = np.asarray(res2["hit"])
+    d2 = np.asarray(res2["dist"])
+    assert np.all(~h2[h] | (d2[h] <= dist[h] * 0.99 + 1e-6))
+
+
+def test_bvh_quadsphere_dense():
+    from vpt_tpu.scene.ply import load_ply
+
+    m = load_ply("/root/reference/tests/03_volume/shapes/sphere.ply")
+    q = m["quads"]
+    t1 = q[:, [0, 1, 3]]
+    t2 = q[:, [2, 3, 1]]
+    tris = m["positions"][np.concatenate([t1, t2])]
+    bvh, perm = build_bvh(tris)
+    trisp = tris[perm]
+    lo, hi = tris.min((0, 1)), tris.max((0, 1))
+    o, d = _rays_at(lo, hi, 512, seed=7)
+    bvh_d = jax.tree.map(jnp.asarray, bvh)
+    res = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o), jnp.asarray(d))
+    ref = intersect_tris_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(trisp),
+                               1e-4, 1e30)
+    assert np.array_equal(np.asarray(res["hit"]), np.asarray(ref["hit"]))
+    h = np.asarray(res["hit"])
+    assert h.sum() > 300
+    np.testing.assert_allclose(
+        np.asarray(res["dist"])[h], np.asarray(ref["dist"])[h], rtol=1e-5
+    )

@@ -1,0 +1,393 @@
+"""Flatten a HostScene into device-resident SoA arrays (the render scene).
+
+TPU-first design decisions (vs the reference's pointer-rich scene_data):
+  - Instance frames are baked into a single world-space triangle soup; one
+    single-level BVH covers the whole scene (no TLAS / per-instance ray
+    transforms in the hot loop). Normals use rigid-transform semantics like
+    transform_normal (yocto_math.h).
+  - Quads are split into triangles with the exact decomposition used by
+    intersect_quad / interpolate_quad (yocto_geometry.h:822-838, 535-543), so
+    hit attributes interpolate identically.
+  - All textures live in one flat texel buffer with per-texture
+    (offset, width, height, linear); bilinear lookup = 4 dynamic gathers.
+  - Lights (emissive instances / environments / emissive analytic SDFs,
+    yocto_pathtrace.cpp:983-1049) carry flattened CDF tables in one buffer.
+  - Materials remain per-material arrays; a separate differentiable "params"
+    pytree view is exposed for the gradient path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..core.vecmath import np_transform_point, np_transform_vector
+from ..ops.bvh import BvhArrays, build_bvh
+from .schema import HostScene
+
+
+class SceneArrays(NamedTuple):
+    # geometry (permuted into BVH leaf order)
+    tri_pos: np.ndarray       # (T, 3, 3) world-space positions
+    tri_vidx: np.ndarray      # (T, 3) into vertex attribute arrays
+    tri_mat: np.ndarray       # (T,)
+    tri_inst: np.ndarray      # (T,)
+    vert_normal: np.ndarray   # (V, 3) world-space
+    vert_texcoord: np.ndarray # (V, 2)
+    vert_color: np.ndarray    # (V, 4)
+    # bvh
+    bvh: BvhArrays
+    # materials
+    mat_type: np.ndarray      # (M,)
+    mat_emission: np.ndarray  # (M, 3)
+    mat_color: np.ndarray     # (M, 3)
+    mat_roughness: np.ndarray # (M,)
+    mat_metallic: np.ndarray
+    mat_ior: np.ndarray
+    mat_scattering: np.ndarray  # (M, 3)
+    mat_scanisotropy: np.ndarray
+    mat_trdepth: np.ndarray
+    mat_opacity: np.ndarray
+    mat_emission_tex: np.ndarray  # (M,) int32
+    mat_color_tex: np.ndarray
+    mat_roughness_tex: np.ndarray
+    mat_scattering_tex: np.ndarray
+    mat_normal_tex: np.ndarray
+    # textures
+    tex_pixels: np.ndarray    # (P, 4) float32 raw
+    tex_offset: np.ndarray    # (K,)
+    tex_width: np.ndarray
+    tex_height: np.ndarray
+    tex_linear: np.ndarray    # (K,) int32 (1 = already linear / float source)
+    # environments
+    env_frame: np.ndarray     # (E, 4, 3)
+    env_emission: np.ndarray  # (E, 3)
+    env_tex: np.ndarray       # (E,)
+    # lights
+    light_kind: np.ndarray        # (L,) 0=instance 1=environment 2=sdf
+    light_id: np.ndarray          # (L,) instance / environment / sdf index
+    light_tri_offset: np.ndarray  # (L,) first triangle (instance lights)
+    light_tri_count: np.ndarray   # (L,)
+    light_cdf_offset: np.ndarray  # (L,) into light_cdf
+    light_cdf_count: np.ndarray   # (L,)
+    light_total: np.ndarray       # (L,) cdf totals (area / luminance sum)
+    light_cdf: np.ndarray         # (sum,) flattened inclusive prefix sums
+    light_tris: np.ndarray        # (LT, 3, 3) light triangle positions (orig order)
+    light_tri_vidx: np.ndarray    # (LT, 3)
+    light_tri_light: np.ndarray   # (LT,) owning light index
+    # volumes / sdfs
+    grid_values: np.ndarray   # (G, D, H, W) float32 (padded to max dims)
+    grid_whd: np.ndarray      # (G, 3) int32 true dims
+    grid_res: np.ndarray      # (G,)
+    vi_frame: np.ndarray      # (VI, 4, 3)
+    vi_volume: np.ndarray     # (VI,)
+    vi_material: np.ndarray
+    vi_scalef: np.ndarray
+    sdf_type: np.ndarray      # (S,)
+    sdf_params: np.ndarray    # (S, 4)
+    sdf_whd: np.ndarray       # (S, 3)
+    sdf_frame: np.ndarray     # (S, 4, 3)
+    sdf_material: np.ndarray  # (S,)
+    # cameras
+    cam_frame: np.ndarray     # (C, 4, 3)
+    cam_lens: np.ndarray
+    cam_film: np.ndarray
+    cam_aspect: np.ndarray
+    cam_focus: np.ndarray
+    cam_aperture: np.ndarray
+    cam_ortho: np.ndarray     # (C,) int32
+
+
+def _quads_to_tris_idx(quads):
+    t1 = quads[:, [0, 1, 3]]
+    t2 = quads[:, [2, 3, 1]]
+    keep2 = quads[:, 2] != quads[:, 3]
+    return np.concatenate([t1, t2[keep2]], axis=0).astype(np.int64)
+
+
+def flatten_scene(scene: HostScene) -> SceneArrays:
+    f32, i32 = np.float32, np.int32
+
+    # ---------------- geometry ----------------
+    tri_pos_l, tri_vidx_l, tri_mat_l, tri_inst_l = [], [], [], []
+    vn_l, vt_l, vc_l = [], [], []
+    vert_base = 0
+    inst_tri_range = {}
+    for ii, inst in enumerate(scene.instances):
+        shape = scene.shapes[inst.shape]
+        if shape.positions is None:
+            continue
+        tris = []
+        if shape.triangles is not None and len(shape.triangles):
+            tris.append(np.asarray(shape.triangles, np.int64))
+        if shape.quads is not None and len(shape.quads):
+            tris.append(_quads_to_tris_idx(np.asarray(shape.quads, np.int64)))
+        if not tris:
+            continue  # lines/points unsupported in the soup (none in tests)
+        tris = np.concatenate(tris, axis=0)
+        wpos = np_transform_point(inst.frame, shape.positions).astype(f32)
+        if shape.normals is not None:
+            wn = np_transform_vector(inst.frame, shape.normals)
+            wn = wn / np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-30)
+        else:
+            wn = np.zeros_like(wpos)  # flag: zero => use geometric normal
+        tc = shape.texcoords if shape.texcoords is not None else np.zeros(
+            (wpos.shape[0], 2), f32
+        )
+        col = shape.colors if shape.colors is not None else np.ones(
+            (wpos.shape[0], 4), f32
+        )
+        t0 = sum(len(x) for x in tri_pos_l)
+        inst_tri_range[ii] = (t0, tris.shape[0])
+        tri_pos_l.append(wpos[tris])
+        tri_vidx_l.append(tris + vert_base)
+        tri_mat_l.append(np.full(tris.shape[0], inst.material, np.int64))
+        tri_inst_l.append(np.full(tris.shape[0], ii, np.int64))
+        vn_l.append(wn.astype(f32))
+        vt_l.append(np.asarray(tc, f32))
+        vc_l.append(np.asarray(col, f32))
+        vert_base += wpos.shape[0]
+
+    if tri_pos_l:
+        tri_pos = np.concatenate(tri_pos_l)
+        tri_vidx = np.concatenate(tri_vidx_l)
+        tri_mat = np.concatenate(tri_mat_l)
+        tri_inst = np.concatenate(tri_inst_l)
+        vert_normal = np.concatenate(vn_l)
+        vert_texcoord = np.concatenate(vt_l)
+        vert_color = np.concatenate(vc_l)
+    else:
+        tri_pos = np.zeros((1, 3, 3), f32)
+        tri_vidx = np.zeros((1, 3), np.int64)
+        tri_mat = np.zeros(1, np.int64)
+        tri_inst = np.zeros(1, np.int64)
+        vert_normal = np.zeros((1, 3), f32)
+        vert_texcoord = np.zeros((1, 2), f32)
+        vert_color = np.ones((1, 4), f32)
+
+    bvh, perm = build_bvh(tri_pos)
+    if perm.size:
+        tri_pos = tri_pos[perm]
+        tri_vidx_p = tri_vidx[perm]
+        tri_mat_p = tri_mat[perm]
+        tri_inst_p = tri_inst[perm]
+    else:
+        tri_vidx_p, tri_mat_p, tri_inst_p = tri_vidx, tri_mat, tri_inst
+
+    # ---------------- materials ----------------
+    mats = scene.materials or []
+    M = max(len(mats), 1)
+
+    def marr(get, shape_tail=(), dtype=f32, default=0):
+        out = np.full((M,) + shape_tail, default, dtype)
+        for i, m in enumerate(mats):
+            out[i] = get(m)
+        return out
+
+    # ---------------- textures ----------------
+    tex_off, tex_w, tex_h, tex_lin, texels = [], [], [], [], []
+    off = 0
+    for t in scene.textures:
+        tex_off.append(off)
+        tex_w.append(t.width)
+        tex_h.append(t.height)
+        tex_lin.append(1 if t.linear else 0)
+        px = t.pixels.reshape(-1, 4).astype(f32)
+        texels.append(px)
+        off += px.shape[0]
+    tex_pixels = np.concatenate(texels) if texels else np.zeros((1, 4), f32)
+
+    # ---------------- lights (yocto_pathtrace.cpp:983-1049) ----------------
+    lk, lid, lto, ltc, lco, lcc, ltot = [], [], [], [], [], [], []
+    cdf_chunks = []
+    lt_pos, lt_vidx, lt_light = [], [], []
+    cdf_off = 0
+    li = 0
+    # light triangle tables use the pre-permutation (soup) order
+    inv = np.argsort(perm) if perm.size else np.arange(tri_pos.shape[0])
+    tri_pos_orig = tri_pos[inv] if perm.size else tri_pos
+    tri_vidx_orig = tri_vidx
+    for ii, inst in enumerate(scene.instances):
+        mat = scene.materials[inst.material]
+        if not np.any(mat.emission != 0) or ii not in inst_tri_range:
+            continue
+        t0, tc = inst_tri_range[ii]
+        v = tri_pos_orig[t0:t0 + tc]
+        areas = 0.5 * np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
+        )
+        cdf = np.cumsum(areas).astype(f32)
+        cdf_chunks.append(cdf)
+        lk.append(0)
+        lid.append(ii)
+        lto.append(t0)
+        ltc.append(tc)
+        lco.append(cdf_off)
+        lcc.append(tc)
+        ltot.append(float(cdf[-1]) if cdf.size else 0.0)
+        cdf_off += cdf.size
+        lt_pos.append(v)
+        lt_vidx.append(tri_vidx_orig[t0:t0 + tc])
+        lt_light.append(np.full(tc, li, np.int64))
+        li += 1
+
+    for ei, env in enumerate(scene.environments):
+        if not np.any(env.emission != 0):
+            continue
+        lk.append(1)
+        lid.append(ei)
+        lto.append(0)
+        ltc.append(0)
+        if env.emission_tex >= 0:
+            t = scene.textures[env.emission_tex]
+            px = t.pixels.reshape(-1, 4)
+            j = np.arange(px.shape[0]) // t.width
+            th = (j + 0.5) * np.pi / t.height
+            w = px[:, :3].max(axis=-1) * np.sin(th)
+            cdf = np.cumsum(w).astype(f32)
+            cdf_chunks.append(cdf)
+            lco.append(cdf_off)
+            lcc.append(cdf.size)
+            ltot.append(float(cdf[-1]))
+            cdf_off += cdf.size
+        else:
+            lco.append(cdf_off)
+            lcc.append(0)
+            ltot.append(0.0)
+        li += 1
+
+    for si, sdf in enumerate(scene.sdfs):
+        mat = scene.materials[sdf.material]
+        if not np.any(mat.emission != 0):
+            continue
+        lk.append(2)
+        lid.append(si)
+        lto.append(0)
+        ltc.append(0)
+        area = float(sdf.whd[0] * sdf.whd[1])
+        cdf_chunks.append(np.asarray([area], f32))
+        lco.append(cdf_off)
+        lcc.append(1)
+        ltot.append(area)
+        cdf_off += 1
+        li += 1
+
+    L = len(lk)
+    light_cdf = (
+        np.concatenate([c for c in cdf_chunks if c is not None])
+        if cdf_chunks else np.zeros(1, f32)
+    )
+    if lt_pos:
+        light_tris = np.concatenate(lt_pos)
+        light_tri_vidx = np.concatenate(lt_vidx)
+        light_tri_light = np.concatenate(lt_light)
+    else:
+        light_tris = np.zeros((1, 3, 3), f32)
+        light_tri_vidx = np.zeros((1, 3), np.int64)
+        light_tri_light = np.full(1, -1, np.int64)
+
+    # ---------------- volumes / sdfs ----------------
+    G = len(scene.volumes)
+    if G:
+        maxd = max(int(v.values.shape[0]) for v in scene.volumes)
+        maxh = max(int(v.values.shape[1]) for v in scene.volumes)
+        maxw = max(int(v.values.shape[2]) for v in scene.volumes)
+        grid_values = np.zeros((G, maxd, maxh, maxw), f32)
+        grid_whd = np.zeros((G, 3), i32)
+        grid_res = np.zeros(G, f32)
+        for gi, v in enumerate(scene.volumes):
+            d, h, w = v.values.shape
+            grid_values[gi, :d, :h, :w] = v.values
+            grid_whd[gi] = v.whd
+            grid_res[gi] = v.res
+    else:
+        grid_values = np.zeros((1, 1, 1, 1), f32)
+        grid_whd = np.ones((1, 3), i32)
+        grid_res = np.ones(1, f32)
+
+    VI = len(scene.vol_instances)
+    vi_frame = np.stack(
+        [v.frame for v in scene.vol_instances], axis=0
+    ) if VI else np.zeros((0, 4, 3), f32)
+    S = len(scene.sdfs)
+    sdf_frame = np.stack([s.frame for s in scene.sdfs]) if S else np.zeros((0, 4, 3), f32)
+
+    E = len(scene.environments)
+
+    return SceneArrays(
+        tri_pos=tri_pos.astype(f32),
+        tri_vidx=tri_vidx_p.astype(i32),
+        tri_mat=tri_mat_p.astype(i32),
+        tri_inst=tri_inst_p.astype(i32),
+        vert_normal=vert_normal,
+        vert_texcoord=vert_texcoord,
+        vert_color=vert_color,
+        bvh=bvh,
+        mat_type=marr(lambda m: m.type, dtype=i32),
+        mat_emission=marr(lambda m: m.emission, (3,)),
+        mat_color=marr(lambda m: m.color, (3,)),
+        mat_roughness=marr(lambda m: m.roughness),
+        mat_metallic=marr(lambda m: m.metallic),
+        mat_ior=marr(lambda m: m.ior, default=1.5),
+        mat_scattering=marr(lambda m: m.scattering, (3,)),
+        mat_scanisotropy=marr(lambda m: m.scanisotropy),
+        mat_trdepth=marr(lambda m: m.trdepth, default=0.01),
+        mat_opacity=marr(lambda m: m.opacity, default=1.0),
+        mat_emission_tex=marr(lambda m: m.emission_tex, dtype=i32, default=-1),
+        mat_color_tex=marr(lambda m: m.color_tex, dtype=i32, default=-1),
+        mat_roughness_tex=marr(lambda m: m.roughness_tex, dtype=i32, default=-1),
+        mat_scattering_tex=marr(lambda m: m.scattering_tex, dtype=i32, default=-1),
+        mat_normal_tex=marr(lambda m: m.normal_tex, dtype=i32, default=-1),
+        tex_pixels=tex_pixels,
+        tex_offset=np.asarray(tex_off, i32) if tex_off else np.zeros(1, i32),
+        tex_width=np.asarray(tex_w, i32) if tex_w else np.ones(1, i32),
+        tex_height=np.asarray(tex_h, i32) if tex_h else np.ones(1, i32),
+        tex_linear=np.asarray(tex_lin, i32) if tex_lin else np.zeros(1, i32),
+        env_frame=np.stack([e.frame for e in scene.environments]) if E else np.zeros(
+            (0, 4, 3), f32
+        ),
+        env_emission=np.stack([e.emission for e in scene.environments]).astype(f32)
+        if E else np.zeros((0, 3), f32),
+        env_tex=np.asarray(
+            [e.emission_tex for e in scene.environments], i32
+        ) if E else np.zeros(0, i32),
+        light_kind=np.asarray(lk, i32) if L else np.zeros(0, i32),
+        light_id=np.asarray(lid, i32) if L else np.zeros(0, i32),
+        light_tri_offset=np.asarray(lto, i32) if L else np.zeros(0, i32),
+        light_tri_count=np.asarray(ltc, i32) if L else np.zeros(0, i32),
+        light_cdf_offset=np.asarray(lco, i32) if L else np.zeros(0, i32),
+        light_cdf_count=np.asarray(lcc, i32) if L else np.zeros(0, i32),
+        light_total=np.asarray(ltot, f32) if L else np.zeros(0, f32),
+        light_cdf=light_cdf,
+        light_tris=light_tris.astype(f32),
+        light_tri_vidx=light_tri_vidx.astype(i32),
+        light_tri_light=light_tri_light.astype(i32),
+        grid_values=grid_values,
+        grid_whd=grid_whd,
+        grid_res=grid_res,
+        vi_frame=vi_frame.astype(f32),
+        vi_volume=np.asarray([v.volume for v in scene.vol_instances], i32)
+        if VI else np.zeros(0, i32),
+        vi_material=np.asarray([v.material for v in scene.vol_instances], i32)
+        if VI else np.zeros(0, i32),
+        vi_scalef=np.asarray([v.scalef for v in scene.vol_instances], f32)
+        if VI else np.zeros(0, f32),
+        sdf_type=np.asarray([s.type for s in scene.sdfs], i32) if S else np.zeros(0, i32),
+        sdf_params=np.stack([s.params for s in scene.sdfs]).astype(f32)
+        if S else np.zeros((0, 4), f32),
+        sdf_whd=np.stack([s.whd for s in scene.sdfs]).astype(f32)
+        if S else np.zeros((0, 3), f32),
+        sdf_frame=sdf_frame.astype(f32),
+        sdf_material=np.asarray([s.material for s in scene.sdfs], i32)
+        if S else np.zeros(0, i32),
+        cam_frame=np.stack([c.frame for c in scene.cameras]).astype(f32),
+        cam_lens=np.asarray([c.lens for c in scene.cameras], f32),
+        cam_film=np.asarray([c.film for c in scene.cameras], f32),
+        cam_aspect=np.asarray([c.aspect for c in scene.cameras], f32),
+        cam_focus=np.asarray([c.focus for c in scene.cameras], f32),
+        cam_aperture=np.asarray([c.aperture for c in scene.cameras], f32),
+        cam_ortho=np.asarray(
+            [1 if c.orthographic else 0 for c in scene.cameras], i32
+        ),
+    )

@@ -1,0 +1,262 @@
+"""JSON scene loader (yocto format v4.2/5.0) including the author's
+`volumes` / `vol_instances` / `sdfunctions` extensions.
+
+Mirrors load_json_scene (/root/reference/libs/yocto/yocto_sceneio.cpp:3544-3860).
+Missing-asset recovery: several reference scenes reference files that are not
+checked in (subdivs/ dir, sphere-displaced.obj, shape1.ply, sdfs/*.sdf); we
+fall back to sensible substitutes so every scene loads (see _load_shape_file /
+synthesize helpers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import image_io, obj as obj_io, ply as ply_io, schema
+from .schema import (
+    Camera, Environment, HostScene, Instance, Material, Sdf, Shape, Subdiv,
+    Texture, VolInstance, VolumeGrid,
+)
+from .volume_io import load_sdf_volume
+
+
+def _frame(vals):
+    if vals is None:
+        return schema.np.array(
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32
+        )
+    return np.asarray(vals, np.float32).reshape(4, 3)
+
+
+IDENTITY = _frame(None)
+
+
+def _load_shape_file(path: str) -> dict:
+    if path.lower().endswith(".ply"):
+        return ply_io.load_ply(path)
+    if path.lower().endswith(".obj"):
+        return obj_io.load_obj_shape(path)
+    if path.lower().endswith(".stl"):
+        from .stl import load_stl
+
+        return load_stl(path)
+    raise ValueError(f"unsupported shape format: {path}")
+
+
+def _synthesize_shape(name: str) -> dict:
+    """Stand-ins for assets referenced by scenes but absent from the reference
+    repo (e.g. sphere-displaced.obj, shape1.ply)."""
+    from .procedural import make_sphere_fv, make_sphere_shape
+
+    lname = name.lower()
+    if "sphere" in lname:
+        return make_sphere_shape(steps=32, scale=0.075, uvscale=1.0)
+    # generic fallback: unit sphere at origin
+    return make_sphere_shape(steps=64, scale=0.15, uvscale=1.0)
+
+
+def load_json_scene(path: str) -> HostScene:
+    with open(path) as f:
+        doc = json.load(f)
+    version = doc.get("asset", {}).get("version")
+    if version not in ("4.2", "5.0"):
+        raise ValueError(f"unsupported scene version {version!r}")
+    scene = HostScene()
+    scene.copyright = doc.get("asset", {}).get("copyright", "")
+    dirname = os.path.dirname(path)
+
+    for el in doc.get("cameras", []):
+        scene.cameras.append(
+            Camera(
+                frame=_frame(el.get("frame")),
+                orthographic=bool(el.get("orthographic", False)),
+                lens=float(el.get("lens", 0.050)),
+                aspect=float(el.get("aspect", 1.5)),
+                film=float(el.get("film", 0.036)),
+                focus=float(el.get("focus", 10000.0)),
+                aperture=float(el.get("aperture", 0.0)),
+                name=el.get("name", ""),
+            )
+        )
+
+    texture_uris = []
+    for el in doc.get("textures", []):
+        texture_uris.append(el.get("uri", ""))
+        scene.textures.append(Texture(name=el.get("name", "")))
+
+    for el in doc.get("materials", []):
+        mtype = el.get("type", "matte")
+        scene.materials.append(
+            Material(
+                type=schema.MATERIAL_TYPES.index(mtype),
+                emission=np.asarray(el.get("emission", [0, 0, 0]), np.float32),
+                color=np.asarray(el.get("color", [0, 0, 0]), np.float32),
+                metallic=float(el.get("metallic", 0.0)),
+                roughness=float(el.get("roughness", 0.0)),
+                ior=float(el.get("ior", 1.5)),
+                trdepth=float(el.get("trdepth", 0.01)),
+                scattering=np.asarray(el.get("scattering", [0, 0, 0]), np.float32),
+                scanisotropy=float(el.get("scanisotropy", 0.0)),
+                opacity=float(el.get("opacity", 1.0)),
+                emission_tex=int(el.get("emission_tex", -1)),
+                color_tex=int(el.get("color_tex", -1)),
+                roughness_tex=int(el.get("roughness_tex", -1)),
+                scattering_tex=int(el.get("scattering_tex", -1)),
+                normal_tex=int(el.get("normal_tex", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    shape_uris = []
+    for el in doc.get("shapes", []):
+        shape_uris.append(el.get("uri", ""))
+        scene.shapes.append(Shape(name=el.get("name", "")))
+
+    volume_uris, volume_binary = [], []
+    for el in doc.get("volumes", []):
+        volume_uris.append(el.get("uri", ""))
+        volume_binary.append(bool(el.get("binary", False)))
+        scene.volumes.append(VolumeGrid(name=el.get("name", "")))
+
+    for el in doc.get("sdfunctions", []):
+        stype = schema.SDF_TYPES.index(el.get("type", "box"))
+        params = np.zeros(4, np.float32)
+        whd = np.zeros(3, np.float32)
+        if el.get("type") == "bbox":
+            whd_in = np.asarray(el.get("whd", [0, 0, 0]), np.float32)
+            params[:3] = whd_in
+            params[3] = float(el.get("thickness", 0.0))
+            whd = whd_in
+        elif el.get("type") == "box":
+            whd = np.asarray(el.get("whd", [0, 0, 0]), np.float32)
+            params[:3] = whd
+        elif el.get("type") == "capped_cone":
+            params[0] = float(el.get("height", 0.0))
+            params[1] = float(el.get("r1", 0.0))
+            params[2] = float(el.get("r2", 0.0))
+        elif el.get("type") == "sphere":
+            params[0] = float(el.get("radius", 0.0))
+        elif el.get("type") == "torus":
+            params[0] = float(el.get("r1", 0.0))
+            params[1] = float(el.get("r2", 0.0))
+        scene.sdfs.append(
+            Sdf(
+                type=stype,
+                params=params,
+                whd=whd,
+                frame=_frame(el.get("frame")),
+                material=int(el.get("material", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    subdiv_uris = []
+    for el in doc.get("subdivs", []):
+        subdiv_uris.append(el.get("uri", ""))
+        scene.subdivs.append(
+            Subdiv(
+                shape=int(el.get("shape", -1)),
+                subdivisions=int(el.get("subdivisions", 0)),
+                catmullclark=bool(el.get("catmullclark", True)),
+                smooth=bool(el.get("smooth", True)),
+                displacement=float(el.get("displacement", 0.0)),
+                displacement_tex=int(el.get("displacement_tex", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    for el in doc.get("instances", []):
+        scene.instances.append(
+            Instance(
+                frame=_frame(el.get("frame")),
+                shape=int(el.get("shape", -1)),
+                material=int(el.get("material", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    for el in doc.get("vol_instances", []):
+        scene.vol_instances.append(
+            VolInstance(
+                frame=_frame(el.get("frame")),
+                volume=int(el.get("volume", -1)),
+                scalef=float(el.get("scale", 1.0)),
+                material=int(el.get("material", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    for el in doc.get("environments", []):
+        scene.environments.append(
+            Environment(
+                frame=_frame(el.get("frame")),
+                emission=np.asarray(el.get("emission", [0, 0, 0]), np.float32),
+                emission_tex=int(el.get("emission_tex", -1)),
+                name=el.get("name", ""),
+            )
+        )
+
+    # ---- load resources ----
+    for i, uri in enumerate(shape_uris):
+        p = os.path.join(dirname, uri)
+        if os.path.exists(p):
+            data = _load_shape_file(p)
+        else:
+            data = _synthesize_shape(os.path.basename(uri))
+        s = scene.shapes[i]
+        s.positions = data.get("positions")
+        s.normals = data.get("normals")
+        s.texcoords = data.get("texcoords")
+        s.colors = data.get("colors")
+        s.radius = data.get("radius")
+        s.triangles = data.get("triangles")
+        s.quads = data.get("quads")
+
+    for i, uri in enumerate(volume_uris):
+        p = os.path.join(dirname, uri)
+        if not os.path.exists(p):
+            p = _maybe_synthesize_volume(dirname, uri)
+        whd, values, res = load_sdf_volume(p, binary=volume_binary[i])
+        v = scene.volumes[i]
+        v.whd, v.values, v.res = whd, values, res
+
+    for i, uri in enumerate(subdiv_uris):
+        p = os.path.join(dirname, uri)
+        if not os.path.exists(p):
+            # reference scenes point at a nonexistent subdivs/ dir; the same
+            # file lives under shapes/
+            alt = os.path.join(dirname, "shapes", os.path.basename(uri))
+            p = alt if os.path.exists(alt) else p
+        sd = scene.subdivs[i]
+        if os.path.exists(p):
+            fv = obj_io.load_obj_fv(p)
+        else:
+            from .procedural import make_sphere_fv
+
+            fv = make_sphere_fv(steps=32, scale=0.075)
+        sd.quadspos = fv["quadspos"]
+        sd.quadsnorm = fv["quadsnorm"]
+        sd.quadstexcoord = fv["quadstexcoord"]
+        sd.positions = fv["positions"]
+        sd.normals = fv["normals"]
+        sd.texcoords = fv["texcoords"]
+
+    for i, uri in enumerate(texture_uris):
+        p = os.path.join(dirname, uri)
+        pixels, linear = image_io.load_image(p)
+        t = scene.textures[i]
+        t.width, t.height = pixels.shape[1], pixels.shape[0]
+        t.pixels, t.linear = pixels, linear
+
+    return scene
+
+
+def _maybe_synthesize_volume(dirname: str, uri: str) -> str:
+    """Generate the missing .sdf voxel grids (see BASELINE.md note) from the
+    checked-in meshes; caches next to the scene."""
+    from .sdfgen import synthesize_reference_volume
+
+    return synthesize_reference_volume(dirname, uri)

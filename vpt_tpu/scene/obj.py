@@ -1,0 +1,121 @@
+"""Wavefront OBJ loader with face-varying support.
+
+The reference loads subdivision control cages as face-varying quads from OBJ
+(load_fvshape, /root/reference/libs/yocto/yocto_sceneio.cpp:2829-2840, parser
+in yocto_modelio.cpp:307+). We mirror that: faces keep separate
+position/texcoord/normal index tuples (quadspos/quadstexcoord/quadsnorm);
+non-face-varying loads collapse to unique vertex tuples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _parse_index(tok: str, nv: int, nt: int, nn: int):
+    parts = tok.split("/")
+    vi = int(parts[0])
+    vi = vi - 1 if vi > 0 else nv + vi
+    ti = ni = -1
+    if len(parts) > 1 and parts[1]:
+        ti = int(parts[1])
+        ti = ti - 1 if ti > 0 else nt + ti
+    if len(parts) > 2 and parts[2]:
+        ni = int(parts[2])
+        ni = ni - 1 if ni > 0 else nn + ni
+    return vi, ti, ni
+
+
+def load_obj_fv(path: str):
+    """Load an OBJ as a face-varying quad mesh.
+
+    Returns dict: positions (V,3), texcoords (T,2) | None, normals (N,3) | None,
+    quadspos (F,4) i32, quadstexcoord (F,4) | None, quadsnorm (F,4) | None.
+    Triangles are stored as degenerate quads (z == w), matching yocto.
+    """
+    positions, texcoords, normals = [], [], []
+    fpos, ftex, fnorm = [], [], []
+    has_tex = has_norm = False
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                positions.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                vals = [float(x) for x in line.split()[1:3]]
+                # flip v like yocto (OBJ uses bottom-left origin)
+                texcoords.append([vals[0], 1.0 - vals[1]])
+            elif line.startswith("vn "):
+                normals.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                toks = line.split()[1:]
+                idx = [
+                    _parse_index(t, len(positions), len(texcoords), len(normals))
+                    for t in toks
+                ]
+                # fan into quads: yocto packs n-gons as quads with repeats;
+                # 3 -> (a,b,c,c); 4 -> (a,b,c,d); n>4 -> triangle fan
+                def emit(quad):
+                    fpos.append([q[0] for q in quad])
+                    ftex.append([q[1] for q in quad])
+                    fnorm.append([q[2] for q in quad])
+
+                if len(idx) == 3:
+                    emit([idx[0], idx[1], idx[2], idx[2]])
+                elif len(idx) == 4:
+                    emit(idx)
+                else:
+                    for i in range(1, len(idx) - 1):
+                        emit([idx[0], idx[i], idx[i + 1], idx[i + 1]])
+                if idx and idx[0][1] >= 0:
+                    has_tex = True
+                if idx and idx[0][2] >= 0:
+                    has_norm = True
+    out = {
+        "positions": np.asarray(positions, np.float32),
+        "texcoords": np.asarray(texcoords, np.float32) if texcoords else None,
+        "normals": np.asarray(normals, np.float32) if normals else None,
+        "quadspos": np.asarray(fpos, np.int32),
+        "quadstexcoord": np.asarray(ftex, np.int32) if has_tex else None,
+        "quadsnorm": np.asarray(fnorm, np.int32) if has_norm else None,
+    }
+    return out
+
+
+def split_facevarying(quadspos, quadsnorm, quadstexcoord, positions, normals, texcoords):
+    """Convert face-varying quads to a single-index quad mesh
+    (yocto_shape.h:604 split_facevarying): unique (pos, norm, tex) tuples
+    become shared vertices."""
+    f = quadspos.reshape(-1)
+    n = quadsnorm.reshape(-1) if quadsnorm is not None else np.full_like(f, -1)
+    t = quadstexcoord.reshape(-1) if quadstexcoord is not None else np.full_like(f, -1)
+    keys = np.stack([f, n, t], axis=-1)
+    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+    quads = inverse.reshape(quadspos.shape).astype(np.int32)
+    new_pos = positions[uniq[:, 0]]
+    new_norm = normals[uniq[:, 1]] if (normals is not None and (uniq[:, 1] >= 0).all()) else None
+    new_tex = (
+        texcoords[uniq[:, 2]] if (texcoords is not None and (uniq[:, 2] >= 0).all()) else None
+    )
+    return quads, new_pos, new_norm, new_tex
+
+
+def load_obj_shape(path: str):
+    """Load an OBJ as a plain (non-face-varying) shape with quads."""
+    fv = load_obj_fv(path)
+    quads, pos, norm, tex = split_facevarying(
+        fv["quadspos"], fv["quadsnorm"], fv["quadstexcoord"],
+        fv["positions"], fv["normals"], fv["texcoords"],
+    )
+    return {
+        "positions": pos, "normals": norm, "texcoords": tex,
+        "quads": quads, "triangles": None, "colors": None, "radius": None,
+    }
+
+
+def quads_to_triangles(quads: np.ndarray) -> np.ndarray:
+    """yocto quads_to_triangles (yocto_shape.h:596): (x,y,w) + (z,w,y); skip the
+    second for degenerate quads (z == w)."""
+    t1 = quads[:, [0, 1, 3]]
+    t2 = quads[:, [2, 3, 1]]
+    keep2 = quads[:, 2] != quads[:, 3]
+    return np.concatenate([t1, t2[keep2]], axis=0).astype(np.int32)
