@@ -1,0 +1,85 @@
+"""Command-line renderer mirroring the reference ypathtrace app
+(/root/reference/apps/ypathtrace/ypathtrace.cpp:307-341).
+
+Usage:
+    python -m vpt_tpu.cli --scene scene.json --output out.png \
+        --shader volpathtrace --samples 256 --resolution 720 --bounces 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .renderer import SHADER_NAMES, RenderParams, Renderer, save_render
+
+
+def _progress_bar(label, current, total, t0, width=20):
+    frac = current / max(total, 1)
+    n = int(frac * width)
+    elapsed = time.time() - t0
+    mins, secs = divmod(elapsed, 60)
+    bar = "#" * n + "-" * (width - n)
+    sys.stderr.write(
+        f"\r{label}: [{bar}] {current}/{total} {int(mins):02d}:{secs:06.3f}")
+    sys.stderr.flush()
+    if current >= total:
+        sys.stderr.write("\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("vpt_tpu", description=__doc__)
+    ap.add_argument("--scene", required=True, help="scene JSON filename")
+    ap.add_argument("--output", default="out.png", help="output image filename")
+    ap.add_argument("--shader", default="pathtrace", choices=SHADER_NAMES)
+    ap.add_argument("--samples", type=int, default=512)
+    ap.add_argument("--resolution", type=int, default=720)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--camera", type=int, default=0)
+    ap.add_argument("--noparallel", action="store_true",
+                    help="accepted for CLI parity; execution is always batched")
+    ap.add_argument("--noimplicitmis", action="store_true")
+    ap.add_argument("--stmaxiter", type=int, default=450)
+    ap.add_argument("--exposure", type=float, default=0.0)
+    ap.add_argument("--filmic", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    params = RenderParams(
+        camera=args.camera, resolution=args.resolution, shader=args.shader,
+        samples=args.samples, bounces=args.bounces,
+        noimplicit_mis=args.noimplicitmis,
+        spheretrace_maxiter=args.stmaxiter,
+        exposure=args.exposure, filmic=args.filmic,
+    )
+
+    t0 = time.time()
+    stage = {"t": time.time()}
+
+    def progress(label):
+        now = time.time()
+        sys.stderr.write(f"{label}... ({now - stage['t']:.2f}s)\n")
+        stage["t"] = now
+
+    renderer = Renderer(args.scene, params, progress=progress)
+    sys.stderr.write(
+        f"rendering {renderer.width}x{renderer.height} "
+        f"{args.samples}spp {args.shader}\n")
+    rt0 = time.time()
+    img, _ = renderer.render(
+        progress=lambda c, t: _progress_bar("render", c, t, rt0))
+    rays = renderer.width * renderer.height * args.samples
+    dt = time.time() - rt0
+    sys.stderr.write(f"render: {dt:.2f}s  ({rays / dt / 1e6:.2f} Mpaths/s)\n")
+    save_render(args.output, img)
+    sys.stderr.write(f"saved {args.output}  total {time.time() - t0:.2f}s\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,12 +4,19 @@ Design (TPU-first, not a port of yocto_bvh.cpp): instance transforms are baked
 into a single world-space triangle soup at flatten time, so one single-level
 BVH replaces the reference's two-level TLAS+BLAS
 (/root/reference/libs/yocto/yocto_bvh.cpp:574-673) — no per-instance ray
-transforms in the hot loop. The tree is *threaded*: traversal follows an
-implicit hit-link (internal node -> node+1 in DFS preorder = first child) or a
-precomputed miss-link (skip the subtree), so it is a single `lax.while_loop`
-over a node cursor with no per-ray stack — the canonical SIMT-friendly layout
-for lock-step vectorized rays. Leaves hold up to LEAF_SIZE triangles, padded
-with -1 (matching the reference's <=4 prims/leaf, yocto_bvh.cpp:444).
+transforms in the hot loop. The tree is *threaded*: every node stores a
+miss-link (skip the subtree); the hit-link is implicit (node+1 = first child
+in DFS preorder), so traversal is a single `lax.while_loop` over a node
+cursor with no per-ray stack — the canonical SIMT layout for lock-step
+vectorized rays.
+
+Memory layout tuned for XLA gather cost (the hot-loop bottleneck):
+  - node record = ONE (N, 8) float32 row: [min.xyz, max.xyz, miss|bits,
+    leaf|bits] — a single gather per traversal step;
+  - leaf triangles live in a separate (L, LEAF_SIZE*9) contiguous row array —
+    a single gather per leaf visit (vs 4 scattered triangle reads);
+  - dead rays enter with cursor -1 and cost nothing (loop ends at the max
+    iteration count among *live* rays).
 
 Builder uses median splits on the largest centroid axis (balanced depth: wall
 time of lock-step traversal is the max nodes visited by any ray in the batch).
@@ -31,10 +38,9 @@ LEAF_SIZE = 4
 
 
 class BvhArrays(NamedTuple):
-    node_min: jnp.ndarray    # (N, 3) float32
-    node_max: jnp.ndarray    # (N, 3) float32
-    node_prims: jnp.ndarray  # (N, LEAF_SIZE) int32, -1 padded; all -1 => internal
-    node_miss: jnp.ndarray   # (N,) int32, -1 terminates
+    node_rec: jnp.ndarray    # (N, 8) float32: min3, max3, miss(bits), leaf(bits)
+    leaf_rec: jnp.ndarray    # (L, 40) float32: LEAF_SIZE x 9 coords + 4 ids(bits)
+    # layout per leaf row: [tri0 p0xyz p1xyz p2xyz, tri1 ..., tri3 ..., id0..id3]
 
 
 def build_bvh(tri_pos: np.ndarray):
@@ -45,13 +51,13 @@ def build_bvh(tri_pos: np.ndarray):
     """
     T = tri_pos.shape[0]
     if T == 0:
+        rec = np.zeros((1, 8), np.float32)
+        rec[:, 6] = np.float32(np.array([-1], np.int32).view(np.float32)[0])
+        rec[:, 7] = rec[:, 6]
+        leaf_rec = np.zeros((1, 40), np.float32)
+        leaf_rec[:, 36:] = np.full(4, -1, np.int32).view(np.float32)
         return (
-            BvhArrays(
-                node_min=np.zeros((1, 3), np.float32),
-                node_max=np.zeros((1, 3), np.float32),
-                node_prims=-np.ones((1, LEAF_SIZE), np.int32),
-                node_miss=-np.ones(1, np.int32),
-            ),
+            BvhArrays(node_rec=rec, leaf_rec=leaf_rec),
             np.zeros(0, np.int64),
         )
     bb_min = tri_pos.min(axis=1)
@@ -59,8 +65,7 @@ def build_bvh(tri_pos: np.ndarray):
     centers = (bb_min + bb_max) * 0.5
     perm = np.arange(T)
 
-    node_min, node_max, node_prims, spans = [], [], [], []
-    # explicit stack, children pushed right-then-left => DFS preorder output
+    node_min, node_max, node_leaf, spans = [], [], [], []
     stack = [(0, T, 0)]
     while stack:
         start, end, depth = stack.pop()
@@ -70,48 +75,59 @@ def build_bvh(tri_pos: np.ndarray):
         spans.append((start, end))
         count = end - start
         if count <= LEAF_SIZE or depth > 60:
-            prims = np.full(LEAF_SIZE, -1, np.int64)
-            prims[: min(count, LEAF_SIZE)] = ids[: min(count, LEAF_SIZE)]
-            node_prims.append(prims)
+            node_leaf.append((start, min(count, LEAF_SIZE)))
             continue
         c = centers[ids]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         order = np.argsort(c[:, axis], kind="stable")
         perm[start:end] = ids[order]
         mid = start + count // 2
-        node_prims.append(np.full(LEAF_SIZE, -1, np.int64))
+        node_leaf.append(None)
         stack.append((mid, end, depth + 1))
         stack.append((start, mid, depth + 1))
 
     N = len(node_min)
-    node_min = np.asarray(node_min, np.float32)
-    node_max = np.asarray(node_max, np.float32)
-    node_prims_arr = np.asarray(node_prims, np.int64)
     spans = np.asarray(spans, np.int64)
 
     # miss link of node i: first node after i in preorder whose span starts at
-    # span_end[i] (the node right after i's subtree); -1 if none.
+    # span_end[i]; -1 if none
     by_start = defaultdict(list)
     for j in range(N):
         by_start[int(spans[j, 0])].append(j)
-    miss = np.full(N, -1, np.int64)
+    miss = np.full(N, -1, np.int32)
     for i in range(N):
         for j in by_start.get(int(spans[i, 1]), ()):
             if j > i:
                 miss[i] = j
                 break
 
-    # leaf slots hold original tri ids; remap to permuted positions so the
-    # traversal gathers from permuted triangle arrays
-    inv_perm = np.empty(T, np.int64)
-    inv_perm[perm] = np.arange(T)
-    prims_permuted = np.where(node_prims_arr >= 0, inv_perm[node_prims_arr], -1)
+    # leaves: contiguous permuted ranges -> packed flat rows
+    leaf_rows, node_leaf_idx = [], np.full(N, -1, np.int32)
+    tri_pos_perm = tri_pos[perm]
+    for i in range(N):
+        if node_leaf[i] is None:
+            continue
+        start, count = node_leaf[i]
+        node_leaf_idx[i] = len(leaf_rows)
+        row = np.zeros(40, np.float32)
+        tris = np.zeros((LEAF_SIZE, 9), np.float32)
+        tris[:count] = tri_pos_perm[start:start + count].reshape(count, 9)
+        # degenerate padding triangles never intersect (det == 0 rejected)
+        row[:36] = tris.reshape(-1)
+        ids = np.full(LEAF_SIZE, -1, np.int32)
+        ids[:count] = np.arange(start, start + count, dtype=np.int32)
+        row[36:] = ids.view(np.float32)
+        leaf_rows.append(row)
+
+    rec = np.zeros((N, 8), np.float32)
+    rec[:, 0:3] = np.asarray(node_min, np.float32)
+    rec[:, 3:6] = np.asarray(node_max, np.float32)
+    rec[:, 6] = miss.view(np.float32)
+    rec[:, 7] = node_leaf_idx.view(np.float32)
 
     arrays = BvhArrays(
-        node_min=node_min,
-        node_max=node_max,
-        node_prims=prims_permuted.astype(np.int32),
-        node_miss=miss.astype(np.int32),
+        node_rec=rec,
+        leaf_rec=np.stack(leaf_rows).astype(np.float32),
     )
     return arrays, perm
 
@@ -120,26 +136,37 @@ def build_bvh(tri_pos: np.ndarray):
 # device traversal
 # ---------------------------------------------------------------------------
 
-def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None, tmin=RAY_EPS,
-                  max_iters: int = 16384):
+def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
+                  tmin=RAY_EPS, alive=None):
     """Closest-hit over batched rays via threaded-BVH while_loop.
 
-    ray_o, ray_d: (R, 3). Returns dict(hit (R,), dist (R,), tri (R,), uv (R,2)).
-    tri ids index the *permuted* triangle arrays. The bbox test inflates t_far
+    ray_o, ray_d: (R, 3). alive: optional (R,) bool — dead rays skip traversal
+    entirely. Returns dict(hit (R,), dist (R,), tri (R,), uv (R,2)).
+    tri indexes the *permuted* triangle arrays. The bbox test inflates t_far
     by 1.00000024 like the reference slab test (yocto_geometry.h:855).
+    tri_pos is unused (kept for API compat); leaf rows carry the geometry.
     """
     R = ray_o.shape[0]
     if tmax is None:
         tmax = jnp.full((R,), FLT_MAX, jnp.float32)
-    safe_d = jnp.where(jnp.abs(ray_d) < 1e-12, jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
+    safe_d = jnp.where(jnp.abs(ray_d) < 1e-12,
+                       jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
     inv_d = 1.0 / safe_d
+
+    start_cur = jnp.zeros((R,), jnp.int32)
+    if alive is not None:
+        start_cur = jnp.where(alive, 0, -1)
 
     def body(state):
         cur, best_t, best_tri, best_uv = state
         active = cur >= 0
         node = jnp.maximum(cur, 0)
-        nmin = bvh.node_min[node]
-        nmax = bvh.node_max[node]
+        rec = bvh.node_rec[node]  # (R, 8) single gather
+        nmin = rec[:, 0:3]
+        nmax = rec[:, 3:6]
+        miss = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32)
+        leaf = jax.lax.bitcast_convert_type(rec[:, 7], jnp.int32)
+
         t0 = (nmin - ray_o) * inv_d
         t1 = (nmax - ray_o) * inv_d
         tn = jnp.minimum(t0, t1)
@@ -148,30 +175,27 @@ def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None, tmin=RAY_EPS
         t_far = jnp.minimum(jnp.min(tf, axis=-1), best_t) * 1.00000024
         bbox_hit = (t_near <= t_far) & active
 
-        prims = bvh.node_prims[node]  # (R, LEAF)
-        is_leaf = prims[:, 0] >= 0
-
+        is_leaf = leaf >= 0
         do_prims = bbox_hit & is_leaf
-        tri_ids = jnp.where(do_prims[:, None], jnp.maximum(prims, 0), 0)
-        valid = (prims >= 0) & do_prims[:, None]
-        v = tri_pos[tri_ids]  # (R, LEAF, 3, 3)
-        t_hit, uv_hit, hit_mask = intersect_triangles_one(
-            ray_o[:, None, :], ray_d[:, None, :], v[..., 0, :], v[..., 1, :],
-            v[..., 2, :], tmin, best_t[:, None]
-        )
-        hit_mask = hit_mask & valid
-        t_hit = jnp.where(hit_mask, t_hit, FLT_MAX)
-        k = jnp.argmin(t_hit, axis=-1)
-        t_min_leaf = jnp.take_along_axis(t_hit, k[:, None], axis=-1)[:, 0]
-        new_best = jnp.any(hit_mask, axis=-1) & (t_min_leaf < best_t)
-        best_t = jnp.where(new_best, t_min_leaf, best_t)
-        best_tri = jnp.where(
-            new_best, jnp.take_along_axis(tri_ids, k[:, None], axis=-1)[:, 0], best_tri
-        )
-        uv_sel = jnp.take_along_axis(uv_hit, k[:, None, None], axis=-2)[:, 0, :]
-        best_uv = jnp.where(new_best[:, None], uv_sel, best_uv)
+        leaf_idx = jnp.where(do_prims, leaf, 0)
+        lrec = bvh.leaf_rec[leaf_idx]     # (R, 40) single gather
+        ids = jax.lax.bitcast_convert_type(lrec[:, 36:40], jnp.int32)
+        # unrolled per-slot Moller-Trumbore on (R,)-shaped columns: keeps all
+        # elementwise work fully lane-utilized (minor-dim-4 layouts waste the
+        # 128-lane VPU)
+        for k in range(LEAF_SIZE):
+            base = k * 9
+            p0 = lrec[:, base + 0:base + 3]
+            p1 = lrec[:, base + 3:base + 6]
+            p2 = lrec[:, base + 6:base + 9]
+            t_k, uv_k, hit_k = intersect_triangles_one(
+                ray_o, ray_d, p0, p1, p2, tmin, best_t)
+            hit_k = hit_k & do_prims & (ids[:, k] >= 0)
+            take = hit_k & (t_k < best_t)
+            best_t = jnp.where(take, t_k, best_t)
+            best_tri = jnp.where(take, ids[:, k], best_tri)
+            best_uv = jnp.where(take[:, None], uv_k, best_uv)
 
-        miss = bvh.node_miss[node]
         nxt = jnp.where(bbox_hit & ~is_leaf, cur + 1, miss)
         cur = jnp.where(active, nxt, cur)
         return cur, best_t, best_tri, best_uv
@@ -180,7 +204,7 @@ def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None, tmin=RAY_EPS
         return jnp.any(state[0] >= 0)
 
     init = (
-        jnp.zeros((R,), jnp.int32),
+        start_cur,
         jnp.minimum(tmax, FLT_MAX),
         jnp.full((R,), -1, jnp.int32),
         jnp.zeros((R, 2), jnp.float32),

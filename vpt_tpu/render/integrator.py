@@ -1,0 +1,322 @@
+"""Wavefront integrators: volpathtrace / pathtrace / naive / eyelight / AOVs.
+
+Architecture (SURVEY.md §7, BASELINE north star): instead of the reference's
+recursive per-ray megakernel (shade_volpathtrace,
+/root/reference/libs/yocto_pathtrace/yocto_pathtrace.cpp:565-687), all rays
+advance one bounce per step of a fixed-depth `lax.scan` carrying a
+struct-of-arrays bounce state. Per-bounce work (BVH intersect, material eval,
+BSDF/light sampling, MIS weights) is fully vectorized and branchless; dead
+rays are masked. The volume "stack" is a single slot + depth counter (no test
+scene nests volumes; nesting the same medium still works).
+
+Deviations from the reference, by design:
+  - opacity passthrough consumes a bounce (the reference rewinds the bounce
+    counter, cpp:607-611); test scenes are fully opaque so this is invisible.
+  - RNG is counter-based per (pixel, sample, bounce, slot) instead of a
+    mutable PCG stream — deterministic under any sharding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.vecmath import FLT_MAX, dot, vmax
+from ..ops import bsdf as B
+from ..ops import volume as V
+from ..ops.bvh import intersect_bvh
+from . import sceneval as SE
+from .lights import sample_lights, sample_lights_pdf
+
+DRAWS_PER_BOUNCE = 16
+CAMERA_DRAWS = 4
+
+
+class PathState(NamedTuple):
+    ray_o: jnp.ndarray      # (R, 3)
+    ray_d: jnp.ndarray      # (R, 3)
+    radiance: jnp.ndarray   # (R, 3)
+    weight: jnp.ndarray     # (R, 3)
+    alive: jnp.ndarray      # (R,) bool
+    hit0: jnp.ndarray       # (R,) bool: first-bounce surface hit (alpha)
+    vol_depth: jnp.ndarray  # (R,) int32
+    vol_density: jnp.ndarray     # (R, 3)
+    vol_scattering: jnp.ndarray  # (R, 3)
+    vol_scaniso: jnp.ndarray     # (R,)
+    vol_emission: jnp.ndarray    # (R, 3)
+
+
+def _u(pixel_id, sample_id, bounce, k, seed):
+    slot = CAMERA_DRAWS + bounce * DRAWS_PER_BOUNCE + k
+    return rng.uniform_float(pixel_id, sample_id, slot, seed)
+
+
+def _u2(pixel_id, sample_id, bounce, k, seed):
+    return jnp.stack(
+        [_u(pixel_id, sample_id, bounce, k, seed),
+         _u(pixel_id, sample_id, bounce, k + 1, seed)], axis=-1)
+
+
+def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
+                     enable_volume: bool = True, mis: bool = True,
+                     naive: bool = False, seed: int = 1301081):
+    """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
+
+    enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
+    enable_volume=False, mis=True -> shade_pathtrace    (cpp:690-762)
+    naive=True                    -> shade_naive        (cpp:765-832)
+    """
+
+    def shade(ds, ray_o, ray_d, pixel_id, sample_id):
+        R = ray_o.shape[0]
+        f3 = lambda v=0.0: jnp.full((R, 3), v, jnp.float32)
+        state = PathState(
+            ray_o=ray_o, ray_d=ray_d,
+            radiance=f3(0.0), weight=f3(1.0),
+            alive=jnp.ones((R,), bool), hit0=jnp.zeros((R,), bool),
+            vol_depth=jnp.zeros((R,), jnp.int32),
+            vol_density=f3(), vol_scattering=f3(),
+            vol_scaniso=jnp.zeros((R,), jnp.float32), vol_emission=f3(),
+        )
+
+        def bounce_step(st: PathState, bounce):
+            u = lambda k: _u(pixel_id, sample_id, bounce, k, seed)
+            u2 = lambda k: _u2(pixel_id, sample_id, bounce, k, seed)
+
+            isect = intersect_bvh(ds.bvh, ds.tri_pos, st.ray_o, st.ray_d,
+                                  alive=st.alive)
+            hit = isect["hit"]
+            # environment on miss
+            env = SE.eval_environment(ds, st.ray_d, n_envs)
+            radiance = jnp.where(
+                (st.alive & ~hit)[..., None], st.radiance + st.weight * env,
+                st.radiance)
+            alive = st.alive & hit
+
+            # --- transmittance sampling inside a volume (cpp:586-596) ---
+            dist_surf = isect["dist"]
+            in_vol = alive & (st.vol_depth > 0) if enable_volume else (
+                jnp.zeros_like(alive))
+            if enable_volume:
+                t_dist = V.sample_transmittance(st.vol_density, dist_surf, u(0), u(1))
+                w_tr = V.eval_transmittance(st.vol_density, t_dist) / jnp.maximum(
+                    V.sample_transmittance_pdf(st.vol_density, t_dist, dist_surf),
+                    1e-30)[..., None]
+                weight = jnp.where(in_vol[..., None], st.weight * w_tr, st.weight)
+                in_scatter = in_vol & (t_dist < dist_surf)
+            else:
+                weight = st.weight
+                in_scatter = jnp.zeros_like(alive)
+                t_dist = dist_surf
+
+            # ======== surface branch (cpp:599-652) ========
+            surf = alive & ~in_scatter
+            outgoing = -st.ray_d
+            tri = jnp.maximum(isect["tri"], 0)
+            uv = isect["uv"]
+            position = SE.eval_position(ds, tri, uv)
+            normal = SE.eval_shading_normal(ds, tri, uv, outgoing)
+            mat = SE.eval_material(ds, tri, uv)
+
+            # opacity passthrough (deviation: consumes a bounce)
+            passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
+            shade_surf = surf & ~passthrough
+
+            hit0 = st.hit0 | (shade_surf & (bounce == 0))
+            radiance = jnp.where(
+                shade_surf[..., None],
+                radiance + weight * B.eval_emission(mat, normal, outgoing),
+                radiance)
+
+            delta = B.is_delta(mat)
+            # non-delta: 0.5 bsdf / 0.5 light one-sample MIS
+            inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5))
+            if mis and not naive:
+                inc_light = sample_lights(ds, lights, position, u(7), u(8), u2(9))
+                use_bsdf = u(3) < 0.5
+                incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
+                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd)
+                pdf_l = sample_lights_pdf(ds, lights, position, incoming_nd)
+                denom = 0.5 * pdf_b + 0.5 * pdf_l
+                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd)
+                w_nd = jnp.where(
+                    (denom > 0)[..., None],
+                    f_val / jnp.where(denom > 0, denom, 1.0)[..., None], 0.0)
+            else:
+                incoming_nd = inc_bsdf
+                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd)
+                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd)
+                w_nd = jnp.where(
+                    (pdf_b > 0)[..., None],
+                    f_val / jnp.where(pdf_b > 0, pdf_b, 1.0)[..., None], 0.0)
+            # delta lobes
+            inc_delta = B.sample_delta(mat, normal, outgoing, u(4))
+            pdf_d = B.sample_delta_pdf(mat, normal, outgoing, inc_delta)
+            f_d = B.eval_delta(mat, normal, outgoing, inc_delta)
+            w_d = jnp.where(
+                (pdf_d > 0)[..., None],
+                f_d / jnp.where(pdf_d > 0, pdf_d, 1.0)[..., None], 0.0)
+
+            incoming = jnp.where(delta[..., None], inc_delta, incoming_nd)
+            w_scale = jnp.where(delta[..., None], w_d, w_nd)
+            inc_zero = jnp.all(incoming == 0.0, axis=-1)
+            alive = alive & jnp.where(shade_surf, ~inc_zero, True)
+            weight = jnp.where(shade_surf[..., None], weight * w_scale, weight)
+
+            # volume stack update (cpp:642-648)
+            if enable_volume:
+                crossing = B.is_volumetric(mat) & (
+                    dot(normal, outgoing) * dot(normal, incoming) < 0.0)
+                do_push = shade_surf & crossing & (st.vol_depth == 0)
+                do_pop = shade_surf & crossing & (st.vol_depth > 0)
+                vol_depth = jnp.where(
+                    do_push, 1, jnp.where(do_pop, st.vol_depth - 1, st.vol_depth))
+                vol_density = jnp.where(do_push[..., None], mat.density, st.vol_density)
+                vol_scattering = jnp.where(
+                    do_push[..., None], mat.scattering, st.vol_scattering)
+                vol_scaniso = jnp.where(do_push, mat.scanisotropy, st.vol_scaniso)
+                vol_emission = jnp.where(do_push[..., None], mat.emission, st.vol_emission)
+            else:
+                vol_depth = st.vol_depth
+                vol_density, vol_scattering = st.vol_density, st.vol_scattering
+                vol_scaniso, vol_emission = st.vol_scaniso, st.vol_emission
+
+            new_o = jnp.where(
+                passthrough[..., None], position + st.ray_d * 1e-2,
+                jnp.where(shade_surf[..., None], position, st.ray_o))
+            new_d = jnp.where(shade_surf[..., None], incoming, st.ray_d)
+
+            # ======== volume scattering branch (cpp:654-673) ========
+            if enable_volume:
+                vpos = st.ray_o + st.ray_d * t_dist[..., None]
+                # eval_emission(vol, position, outgoing) quirk: "normal" is the
+                # position (cpp:660) — mirror exactly
+                vol_emit = jnp.where(
+                    (dot(vpos, outgoing) >= 0.0)[..., None], st.vol_emission, 0.0)
+                radiance = jnp.where(
+                    in_scatter[..., None], radiance + weight * vol_emit, radiance)
+                inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
+                inc_vlight = sample_lights(ds, lights, vpos, u(7), u(8), u2(9))
+                incoming_v = jnp.where(
+                    (u(3) < 0.5)[..., None], inc_phase, inc_vlight)
+                pdf_ph = V.sample_phasefunction_pdf(st.vol_scaniso, outgoing, incoming_v)
+                pdf_vl = sample_lights_pdf(ds, lights, vpos, incoming_v)
+                denom_v = 0.5 * pdf_ph + 0.5 * pdf_vl
+                f_scat = V.eval_scattering(
+                    st.vol_density, st.vol_scattering, st.vol_scaniso,
+                    outgoing, incoming_v)
+                w_v = jnp.where(
+                    (denom_v > 0)[..., None],
+                    f_scat / jnp.where(denom_v > 0, denom_v, 1.0)[..., None], 0.0)
+                weight = jnp.where(in_scatter[..., None], weight * w_v, weight)
+                new_o = jnp.where(in_scatter[..., None], vpos, new_o)
+                new_d = jnp.where(in_scatter[..., None], incoming_v, new_d)
+
+            # weight check + russian roulette (cpp:676-683)
+            active_shaded = alive & (shade_surf | in_scatter)
+            wzero = jnp.all(weight == 0.0, axis=-1) | ~jnp.all(
+                jnp.isfinite(weight), axis=-1)
+            alive = alive & jnp.where(active_shaded, ~wzero, True)
+            if bounces > 4:
+                rr_prob = jnp.minimum(0.99, vmax(weight))
+                do_rr = active_shaded & (bounce > 3)
+                rr_kill = do_rr & (u(11) >= rr_prob)
+                alive = alive & ~rr_kill
+                weight = jnp.where(
+                    (do_rr & ~rr_kill)[..., None],
+                    weight / jnp.maximum(rr_prob, 1e-12)[..., None], weight)
+
+            return PathState(
+                ray_o=new_o, ray_d=new_d, radiance=radiance, weight=weight,
+                alive=alive, hit0=hit0, vol_depth=vol_depth,
+                vol_density=vol_density, vol_scattering=vol_scattering,
+                vol_scaniso=vol_scaniso, vol_emission=vol_emission,
+            ), None
+
+        # scan over bounces (a while-loop here blows up XLA compile time
+        # ~20x through the remote-compile tunnel); dead rays cost ~nothing in
+        # later bounces because traversal starts with cursor -1 for them and
+        # the inner while exits immediately once all are dead
+        state, _ = jax.lax.scan(bounce_step, state, jnp.arange(bounces))
+        radiance = state.radiance
+        finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+        radiance = jnp.where(finite[..., None], radiance, 0.0)
+        return radiance, state.hit0.astype(jnp.float32)
+
+    return shade
+
+
+def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
+                         seed: int = 1301081):
+    """shade_eyelight (cpp:835-890): pif * bsdfcos(out, out), follows delta
+    chains up to max(bounces, 4)."""
+
+    def shade(ds, ray_o, ray_d, pixel_id, sample_id):
+        R = ray_o.shape[0]
+        radiance = jnp.zeros((R, 3))
+        weight = jnp.ones((R, 3))
+        alive = jnp.ones((R,), bool)
+        hit0 = jnp.zeros((R,), bool)
+        o, d = ray_o, ray_d
+        for bounce in range(max(bounces, 4)):
+            isect = intersect_bvh(ds.bvh, ds.tri_pos, o, d)
+            hit = isect["hit"]
+            env = SE.eval_environment(ds, d, n_envs)
+            radiance = jnp.where(
+                (alive & ~hit)[..., None], radiance + weight * env, radiance)
+            alive = alive & hit
+            outgoing = -d
+            tri = jnp.maximum(isect["tri"], 0)
+            uv = isect["uv"]
+            position = SE.eval_position(ds, tri, uv)
+            normal = SE.eval_shading_normal(ds, tri, uv, outgoing)
+            mat = SE.eval_material(ds, tri, uv)
+            hit0 = hit0 | (alive & (bounce == 0))
+            radiance = jnp.where(
+                alive[..., None],
+                radiance + weight * B.eval_emission(mat, normal, outgoing)
+                + weight * jnp.pi * B.eval_bsdfcos(mat, normal, outgoing, outgoing),
+                radiance)
+            delta = B.is_delta(mat)
+            rnl = _u(pixel_id, sample_id, bounce, 4, seed)
+            inc = B.sample_delta(mat, normal, outgoing, rnl)
+            pdf = B.sample_delta_pdf(mat, normal, outgoing, inc)
+            f_d = B.eval_delta(mat, normal, outgoing, inc)
+            w_d = jnp.where((pdf > 0)[..., None],
+                            f_d / jnp.where(pdf > 0, pdf, 1.0)[..., None], 0.0)
+            cont = alive & delta & jnp.any(inc != 0.0, axis=-1)
+            weight = jnp.where(cont[..., None], weight * w_d, weight)
+            alive = cont & jnp.any(weight != 0.0, axis=-1)
+            o = jnp.where(cont[..., None], position, o)
+            d = jnp.where(cont[..., None], inc, d)
+        finite = jnp.all(jnp.isfinite(radiance), axis=-1)
+        return jnp.where(finite[..., None], radiance, 0.0), hit0.astype(jnp.float32)
+
+    return shade
+
+
+def make_debug_shader(n_envs: int, which: str):
+    """First-hit AOVs: normal / texcoord / color (cpp:893-930)."""
+
+    def shade(ds, ray_o, ray_d, pixel_id, sample_id):
+        isect = intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d)
+        hit = isect["hit"]
+        tri = jnp.maximum(isect["tri"], 0)
+        uv = isect["uv"]
+        outgoing = -ray_d
+        if which == "normal":
+            val = SE.eval_shading_normal(ds, tri, uv, outgoing)
+        elif which == "texcoord":
+            tc = SE.eval_texcoord(ds, tri, uv)
+            val = jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
+        elif which == "color":
+            val = SE.eval_material(ds, tri, uv).color
+        else:
+            raise ValueError(which)
+        val = jnp.where(hit[..., None], val, 0.0)
+        return val, hit.astype(jnp.float32)
+
+    return shade

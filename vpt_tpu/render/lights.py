@@ -1,0 +1,204 @@
+"""Light sampling: area-CDF mesh lights, environment texel CDFs, SDF rect
+lights.
+
+Mirrors sample_lights / sample_lights_pdf
+(/root/reference/libs/yocto_pathtrace/yocto_pathtrace.cpp:312-421) with two
+TPU-first changes:
+  - lights are a *static* (compile-time) list, so the per-light switch
+    unrolls into masked selects — no data-dependent branching;
+  - the reference's sequential occluder walk (<=100 dependent BVH re-casts
+    per area light, cpp:363-378) is replaced by one vectorized all-hits pass
+    over the light's own triangles, which finds the identical hit set (every
+    surface of the light mesh along the ray) without the loop.
+Quad lights were split into triangles with an area-proportional CDF; for the
+parallelogram lights in the test scenes this sampling distribution is
+identical to the reference's bilinear-uv quad sampling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.sampling import sample_discrete, sample_triangle_uv
+from ..core.vecmath import (
+    PIF,
+    cross,
+    distance_squared,
+    dot,
+    frame_inverse,
+    interpolate_triangle,
+    normalize,
+    transform_direction,
+    transform_point,
+)
+from ..ops.intersect import intersect_triangles_one
+
+KIND_INSTANCE, KIND_ENV, KIND_SDF = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class StaticLight:
+    kind: int
+    id: int           # instance / environment / sdf index
+    tri_lo: int = 0   # slice into ds.light_tris (instance lights)
+    tri_hi: int = 0
+    cdf_lo: int = 0   # slice into ds.light_cdf
+    cdf_hi: int = 0
+    env_w: int = 0    # env texture dims (env lights with a texture)
+    env_h: int = 0
+    env_tex: int = -1
+
+
+def build_lights_static(sa) -> list:
+    """Build the static light list from host-side SceneArrays (numpy)."""
+    out = []
+    t_cursor = 0
+    for li in range(len(sa.light_kind)):
+        kind = int(sa.light_kind[li])
+        lid = int(sa.light_id[li])
+        if kind == KIND_INSTANCE:
+            cnt = int(sa.light_tri_count[li])
+            out.append(
+                StaticLight(
+                    kind=kind, id=lid,
+                    tri_lo=t_cursor, tri_hi=t_cursor + cnt,
+                    cdf_lo=int(sa.light_cdf_offset[li]),
+                    cdf_hi=int(sa.light_cdf_offset[li] + sa.light_cdf_count[li]),
+                )
+            )
+            t_cursor += cnt
+        elif kind == KIND_ENV:
+            tex = int(sa.env_tex[lid])
+            w = int(sa.tex_width[tex]) if tex >= 0 else 0
+            h = int(sa.tex_height[tex]) if tex >= 0 else 0
+            out.append(
+                StaticLight(
+                    kind=kind, id=lid,
+                    cdf_lo=int(sa.light_cdf_offset[li]),
+                    cdf_hi=int(sa.light_cdf_offset[li] + sa.light_cdf_count[li]),
+                    env_w=w, env_h=h, env_tex=tex,
+                )
+            )
+        else:
+            out.append(
+                StaticLight(
+                    kind=kind, id=lid,
+                    cdf_lo=int(sa.light_cdf_offset[li]),
+                    cdf_hi=int(sa.light_cdf_offset[li] + sa.light_cdf_count[li]),
+                )
+            )
+    return out
+
+
+def sample_lights(ds, lights, position, rl, rel, ruv):
+    """Direction toward a uniformly-chosen light (cpp:312-350)."""
+    L = len(lights)
+    if L == 0:
+        return jnp.zeros_like(position)
+    lid = jnp.clip((rl * L).astype(jnp.int32), 0, L - 1)
+    out = jnp.zeros_like(position)
+    for k, light in enumerate(lights):
+        sel = (lid == k)[..., None]
+        if light.kind == KIND_INSTANCE:
+            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
+            elem = sample_discrete(cdf[None, :], rel)
+            v = ds.light_tris[light.tri_lo + elem]
+            uv = sample_triangle_uv(ruv)
+            lpos = interpolate_triangle(v[..., 0, :], v[..., 1, :], v[..., 2, :], uv)
+            d = normalize(lpos - position)
+        elif light.kind == KIND_ENV and light.env_tex >= 0:
+            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
+            total = cdf[-1]
+            r = jnp.clip(rel * total, 0.0, total - 1e-5)
+            idx = jnp.clip(
+                jnp.searchsorted(cdf, r, side="right"), 0, cdf.shape[0] - 1
+            )
+            w, h = light.env_w, light.env_h
+            u = ((idx % w).astype(jnp.float32) + 0.5) / w
+            vcoord = ((idx // w).astype(jnp.float32) + 0.5) / h
+            local = jnp.stack(
+                [
+                    jnp.cos(u * 2 * PIF) * jnp.sin(vcoord * PIF),
+                    jnp.cos(vcoord * PIF),
+                    jnp.sin(u * 2 * PIF) * jnp.sin(vcoord * PIF),
+                ],
+                axis=-1,
+            )
+            d = transform_direction(ds.env_frame[light.id], local)
+        elif light.kind == KIND_ENV:
+            # textureless environment: uniform sphere
+            z = 2 * ruv[..., 1] - 1
+            rr = jnp.sqrt(jnp.clip(1 - z * z, 0.0, 1.0))
+            phi = 2 * PIF * ruv[..., 0]
+            d = jnp.stack([rr * jnp.cos(phi), rr * jnp.sin(phi), z], axis=-1)
+        else:  # KIND_SDF: flat rect at local z=1*whd.z (cpp:327-332)
+            whd = ds.sdf_whd[light.id]
+            lp = jnp.stack(
+                [ruv[..., 0] * whd[0], ruv[..., 1] * whd[1],
+                 jnp.ones_like(ruv[..., 0]) * whd[2]], axis=-1
+            )
+            wl = transform_point(frame_inverse(ds.sdf_frame[light.id]), lp)
+            d = normalize(wl - position)
+        out = jnp.where(sel, d, out)
+    return out
+
+
+def sample_lights_pdf(ds, lights, position, direction, spheretrace_fn=None):
+    """Solid-angle pdf summed over all lights (cpp:353-421).
+
+    spheretrace_fn(position, direction, sdf_id) -> (hit, dist, normal) is
+    injected by the implicit integrator for SDF lights; None skips them.
+    """
+    L = len(lights)
+    if L == 0:
+        return jnp.zeros(position.shape[:-1], position.dtype)
+    pdf = jnp.zeros(position.shape[:-1], position.dtype)
+    for light in lights:
+        if light.kind == KIND_INSTANCE:
+            v = ds.light_tris[light.tri_lo:light.tri_hi]  # (K, 3, 3)
+            area = ds.light_cdf[light.cdf_hi - 1]
+            t, _, hit = intersect_triangles_one(
+                position[..., None, :], direction[..., None, :],
+                v[..., 0, :], v[..., 1, :], v[..., 2, :], 1e-4, jnp.inf,
+            )
+            gn = normalize(
+                cross(v[..., 1, :] - v[..., 0, :], v[..., 2, :] - v[..., 0, :])
+            )
+            cosw = jnp.abs(jnp.sum(gn * direction[..., None, :], axis=-1))
+            lpos = position[..., None, :] + direction[..., None, :] * t[..., None]
+            d2 = distance_squared(lpos, position[..., None, :])
+            contrib = jnp.where(
+                hit & (cosw > 1e-12), d2 / jnp.where(cosw > 1e-12, cosw * area, 1.0), 0.0
+            )
+            pdf = pdf + jnp.sum(contrib, axis=-1)
+        elif light.kind == KIND_ENV and light.env_tex >= 0:
+            frame = ds.env_frame[light.id]
+            wl = transform_direction(frame_inverse(frame), direction)
+            tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2 * PIF)
+            tx = jnp.where(tx < 0, tx + 1.0, tx)
+            ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF
+            w, h = light.env_w, light.env_h
+            i = jnp.clip((tx * w).astype(jnp.int32), 0, w - 1)
+            j = jnp.clip((ty * h).astype(jnp.int32), 0, h - 1)
+            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
+            idx = j * w + i
+            hi = cdf[idx]
+            lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+            prob = (hi - lo) / cdf[-1]
+            angle = (2 * PIF / w) * (PIF / h) * jnp.sin(PIF * (j + 0.5) / h)
+            pdf = pdf + prob / jnp.maximum(angle, 1e-12)
+        elif light.kind == KIND_ENV:
+            pdf = pdf + 1.0 / (4 * PIF)
+        elif spheretrace_fn is not None:
+            hit, dist, normal = spheretrace_fn(position, direction, light.id)
+            area = ds.light_cdf[light.cdf_hi - 1]
+            lpos = position + direction * dist[..., None]
+            d2 = distance_squared(lpos, position)
+            cosw = jnp.abs(dot(normal, direction))
+            pdf = pdf + jnp.where(
+                hit & (cosw > 1e-12), d2 / jnp.where(cosw > 1e-12, cosw * area, 1.0), 0.0
+            )
+    return pdf / L

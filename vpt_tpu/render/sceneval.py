@@ -1,0 +1,202 @@
+"""Hit-point evaluation on the flattened device scene.
+
+Batched equivalents of the reference instance-eval layer
+(/root/reference/libs/yocto/yocto_scene.cpp:279-651): interpolated
+position/normal/texcoord/color, tangent-frame normal mapping, textured
+material evaluation (roughness squaring + clamping rules, density
+derivation), and environment lookups. All functions take the flattened
+SceneArrays pytree (jnp leaves) and batched hit records (tri, uv).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import (
+    cross,
+    dot,
+    frame_inverse,
+    interpolate_triangle,
+    normalize,
+    orthonormalize,
+    transform_direction,
+)
+from ..ops.bsdf import (
+    GLOSSY,
+    GLTFPBR,
+    MATTE,
+    MIN_ROUGHNESS,
+    REFRACTIVE,
+    SUBSURFACE,
+    VOLUMETRIC,
+    MaterialPoint,
+)
+from ..ops.texture import eval_texture
+
+PIF = jnp.pi
+
+
+def _tri_verts(ds, tri):
+    v = ds.tri_pos[tri]  # (..., 3, 3)
+    return v[..., 0, :], v[..., 1, :], v[..., 2, :]
+
+
+def eval_position(ds, tri, uv):
+    p0, p1, p2 = _tri_verts(ds, tri)
+    return interpolate_triangle(p0, p1, p2, uv)
+
+
+def eval_element_normal(ds, tri):
+    p0, p1, p2 = _tri_verts(ds, tri)
+    return normalize(cross(p1 - p0, p2 - p0))
+
+
+def eval_normal(ds, tri, uv):
+    """Interpolated vertex normal; geometric normal when the shape has none
+    (stored as zero vectors at flatten time)."""
+    vidx = ds.tri_vidx[tri]
+    n = ds.vert_normal[vidx]  # (..., 3, 3)
+    ni = interpolate_triangle(n[..., 0, :], n[..., 1, :], n[..., 2, :], uv)
+    has = jnp.sum(ni * ni, axis=-1) > 1e-12
+    geom = eval_element_normal(ds, tri)
+    return jnp.where(has[..., None], normalize(ni), geom)
+
+
+def eval_texcoord(ds, tri, uv):
+    vidx = ds.tri_vidx[tri]
+    t = ds.vert_texcoord[vidx]
+    return interpolate_triangle(t[..., 0, :], t[..., 1, :], t[..., 2, :], uv)
+
+
+def eval_color(ds, tri, uv):
+    vidx = ds.tri_vidx[tri]
+    c = ds.vert_color[vidx]
+    return interpolate_triangle(c[..., 0, :], c[..., 1, :], c[..., 2, :], uv)
+
+
+def _triangle_tangents_fromuv(p0, p1, p2, uv0, uv1, uv2):
+    """yocto triangle_tangents_fromuv (yocto_geometry.h): solve the 2x2 uv
+    system; fall back to axes on degenerate parametrizations."""
+    p = p1 - p0
+    q = p2 - p0
+    s = jnp.stack([uv1[..., 0] - uv0[..., 0], uv2[..., 0] - uv0[..., 0]], axis=-1)
+    t = jnp.stack([uv1[..., 1] - uv0[..., 1], uv2[..., 1] - uv0[..., 1]], axis=-1)
+    div = s[..., 0] * t[..., 1] - s[..., 1] * t[..., 0]
+    ok = div != 0.0
+    inv = 1.0 / jnp.where(ok, div, 1.0)
+    tu = (t[..., 1:2] * p - t[..., 0:1] * q) * inv[..., None]
+    tv = (s[..., 0:1] * q - s[..., 1:2] * p) * inv[..., None]
+    tu = jnp.where(ok[..., None], tu, jnp.array([1.0, 0.0, 0.0]))
+    tv = jnp.where(ok[..., None], tv, jnp.array([0.0, 1.0, 0.0]))
+    return tu, tv
+
+
+def eval_shading_normal(ds, tri, uv, outgoing):
+    """yocto_scene.cpp:476-503 for triangle shapes: vertex normal, normal map
+    if present, refractive keeps orientation, others face-forward."""
+    normal = eval_normal(ds, tri, uv)
+    mat_id = ds.tri_mat[tri]
+    normal_tex = ds.mat_normal_tex[mat_id]
+    has_nm = normal_tex >= 0
+
+    texcoord = eval_texcoord(ds, tri, uv)
+    nm_rgba = eval_texture(
+        ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height, ds.tex_linear,
+        normal_tex, texcoord, as_linear=False,
+    )
+    normalmap = -1.0 + 2.0 * nm_rgba[..., :3]
+    p0, p1, p2 = _tri_verts(ds, tri)
+    vidx = ds.tri_vidx[tri]
+    tc = ds.vert_texcoord[vidx]
+    tu, tv = _triangle_tangents_fromuv(
+        p0, p1, p2, tc[..., 0, :], tc[..., 1, :], tc[..., 2, :]
+    )
+    fz = normal
+    fx = orthonormalize(tu, fz)
+    fy = normalize(cross(fz, fx))
+    flip_v = dot(fy, tv) < 0.0
+    nm_y = normalmap[..., 1] * jnp.where(flip_v, 1.0, -1.0)
+    nm = jnp.stack([normalmap[..., 0], nm_y, normalmap[..., 2]], axis=-1)
+    mapped = normalize(
+        nm[..., 0:1] * fx + nm[..., 1:2] * fy + nm[..., 2:3] * fz
+    )
+    normal = jnp.where(has_nm[..., None], mapped, normal)
+
+    is_refr = ds.mat_type[mat_id] == REFRACTIVE
+    forward = jnp.where((dot(normal, outgoing) >= 0.0)[..., None], normal, -normal)
+    return jnp.where(is_refr[..., None], normal, forward)
+
+
+def eval_material(ds, tri, uv) -> MaterialPoint:
+    """yocto_scene.cpp:529-579 (textured variant)."""
+    mat_id = ds.tri_mat[tri]
+    texcoord = eval_texcoord(ds, tri, uv)
+    color_shp = eval_color(ds, tri, uv)
+
+    def tex(tid, as_linear):
+        return eval_texture(
+            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+            ds.tex_linear, tid, texcoord, as_linear=as_linear,
+        )
+
+    emission_tex = tex(ds.mat_emission_tex[mat_id], True)
+    color_tex = tex(ds.mat_color_tex[mat_id], True)
+    roughness_tex = tex(ds.mat_roughness_tex[mat_id], False)
+    scattering_tex = tex(ds.mat_scattering_tex[mat_id], True)
+
+    mtype = ds.mat_type[mat_id]
+    emission = ds.mat_emission[mat_id] * emission_tex[..., :3]
+    color = ds.mat_color[mat_id] * color_tex[..., :3] * color_shp[..., :3]
+    opacity = ds.mat_opacity[mat_id] * color_tex[..., 3] * color_shp[..., 3]
+    metallic = ds.mat_metallic[mat_id] * roughness_tex[..., 2]
+    roughness = ds.mat_roughness[mat_id] * roughness_tex[..., 1]
+    roughness = roughness * roughness
+    ior = ds.mat_ior[mat_id]
+    scattering = ds.mat_scattering[mat_id] * scattering_tex[..., :3]
+    scanisotropy = ds.mat_scanisotropy[mat_id]
+    trdepth = ds.mat_trdepth[mat_id]
+
+    volumetric_like = (
+        (mtype == REFRACTIVE) | (mtype == VOLUMETRIC) | (mtype == SUBSURFACE)
+    )
+    density = jnp.where(
+        volumetric_like[..., None],
+        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / trdepth[..., None],
+        0.0,
+    )
+
+    clamped = (mtype == MATTE) | (mtype == GLTFPBR) | (mtype == GLOSSY)
+    roughness = jnp.where(
+        clamped,
+        jnp.clip(roughness, MIN_ROUGHNESS, 1.0),
+        jnp.where(
+            mtype == VOLUMETRIC,
+            0.0,
+            jnp.where(roughness < MIN_ROUGHNESS, 0.0, roughness),
+        ),
+    )
+
+    return MaterialPoint(
+        mtype=mtype, emission=emission, color=color, opacity=opacity,
+        roughness=roughness, metallic=metallic, ior=ior, density=density,
+        scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth,
+    )
+
+
+def eval_environment(ds, direction, n_envs: int):
+    """Sum of all environments (yocto_scene.cpp:634-651). n_envs is static."""
+    total = jnp.zeros(direction.shape[:-1] + (3,), direction.dtype)
+    for e in range(n_envs):
+        frame = ds.env_frame[e]
+        wl = transform_direction(frame_inverse(frame), direction)
+        tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2 * PIF)
+        tx = jnp.where(tx < 0, tx + 1.0, tx)
+        ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF
+        texcoord = jnp.stack([tx, ty], axis=-1)
+        emis = eval_texture(
+            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+            ds.tex_linear, jnp.broadcast_to(ds.env_tex[e], tx.shape), texcoord,
+            as_linear=False,
+        )
+        total = total + ds.env_emission[e] * emis[..., :3]
+    return total

@@ -1,0 +1,176 @@
+"""High-level offline renderer: scene file -> image.
+
+Equivalent of run_offline (/root/reference/apps/ypathtrace/ypathtrace.cpp:41-87):
+load -> tesselate -> flatten(+BVH) -> lights -> progressive sample loop ->
+linear image. The per-sample step is one jitted program; the sample loop is a
+host loop (progressive rendering keeps every intermediate image valid, and is
+the natural checkpoint/resume granularity — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .render import state as RS
+from .render.integrator import (
+    make_debug_shader,
+    make_eyelight_shader,
+    make_path_shader,
+)
+from .render.lights import build_lights_static
+from .scene.flatten import flatten_scene
+from .scene.json_io import load_json_scene
+from .scene.subdiv import tesselate_surfaces
+
+SHADER_NAMES = [
+    "volpathtrace", "pathtrace", "naive", "eyelight", "normal", "texcoord",
+    "color", "implicit", "implicit_normal",
+]
+
+
+@dataclass
+class RenderParams:
+    """pathtrace_params (yocto_pathtrace.h:87-99)."""
+
+    camera: int = 0
+    resolution: int = 720
+    shader: str = "pathtrace"
+    samples: int = 512
+    bounces: int = 4
+    pratio: int = 8
+    exposure: float = 0.0
+    filmic: bool = False
+    noimplicit_mis: bool = False
+    spheretrace_maxiter: int = 450
+    seed: int = 1301081
+
+
+class Renderer:
+    def __init__(self, scene, params: RenderParams | None = None,
+                 progress=None):
+        self.params = params or RenderParams()
+        p = progress or (lambda *_: None)
+        if isinstance(scene, str):
+            p("load scene")
+            scene = load_json_scene(scene)
+        self.scene = scene
+        p("tesselate")
+        tesselate_surfaces(scene)
+        p("flatten + bvh")
+        self.arrays = flatten_scene(scene)
+        p("lights")
+        self.lights = build_lights_static(self.arrays)
+        self.n_envs = len(scene.environments)
+        p("upload")
+        self.ds = jax.tree.map(jnp.asarray, self.arrays)
+        cam = scene.cameras[self.params.camera]
+        self.width, self.height = RS.image_size(cam.aspect, self.params.resolution)
+        self._step = None
+        self._chunk = None
+
+    def _make_shader(self):
+        """Shader factories return shade(ds, o, d, pixel, sample)."""
+        p = self.params
+        s = p.shader
+        if s in ("volpathtrace", "pathtrace", "naive"):
+            return make_path_shader(
+                self.lights, self.n_envs, bounces=p.bounces,
+                enable_volume=(s == "volpathtrace"), mis=(s != "naive"),
+                naive=(s == "naive"), seed=p.seed)
+        if s == "eyelight":
+            return make_eyelight_shader(
+                self.lights, self.n_envs, bounces=p.bounces, seed=p.seed)
+        if s in ("normal", "texcoord", "color"):
+            return make_debug_shader(self.n_envs, s)
+        if s in ("implicit", "implicit_normal"):
+            from .render.implicit import make_implicit_shader
+
+            return make_implicit_shader(
+                self.lights, self.n_envs, params=p,
+                normal_only=(s == "implicit_normal"))
+        raise ValueError(f"unknown shader {s!r}")
+
+    def _build_step(self, chunk: int = 1):
+        """Jitted program advancing `chunk` samples (lax.scan) per dispatch —
+        amortizes host->device dispatch latency, which dominates through the
+        TPU tunnel."""
+        p = self.params
+        shade = self._make_shader()
+
+        def one(ds, state):
+            shade_bound = lambda o, d, pix, samp: shade(ds, o, d, pix, samp)
+            return RS.render_sample(
+                shade_bound, ds, state, p.camera, self.width, self.height,
+                p.samples, p.seed)
+
+        def step(ds, state):
+            if chunk == 1:
+                return one(ds, state)
+            return jax.lax.scan(
+                lambda st, _: (one(ds, st), None), state, None, length=chunk
+            )[0]
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def render(self, samples: int | None = None, progress=None,
+               state: RS.RenderState | None = None, chunk: int = 8):
+        """Progressively render; returns (linear rgba image (H, W, 4), state)."""
+        p = self.params
+        n = samples if samples is not None else p.samples
+        chunk = max(1, min(chunk, n))
+        if self._step is None or self._chunk != chunk:
+            self._step = self._build_step(chunk)
+            self._chunk = chunk
+        if state is None:
+            state = RS.make_state(self.width, self.height)
+        done = 0
+        while done < n:
+            if n - done < chunk:
+                # tail with a chunk=1 program to hit the exact sample count
+                tail = self._build_step(1)
+                for _ in range(n - done):
+                    state = tail(self.ds, state)
+                done = n
+            else:
+                state = self._step(self.ds, state)
+                done += chunk
+            if progress is not None:
+                progress(done, n)
+        img = np.asarray(RS.get_render(state))
+        return img.reshape(self.height, self.width, 4), state
+
+    def rays_per_sec(self, samples: int = 16, chunk: int = 8):
+        """Throughput probe: camera paths per second over `samples`."""
+        step = self._build_step(chunk)
+        state = RS.make_state(self.width, self.height)
+        state = step(self.ds, state)  # compile + warm
+        jax.block_until_ready(state.accum)
+        iters = max(1, samples // chunk)
+        t0 = time.time()
+        for _ in range(iters):
+            state = step(self.ds, state)
+        jax.block_until_ready(state.accum)
+        dt = time.time() - t0
+        return iters * chunk * self.width * self.height / dt
+
+
+def save_render(path: str, img_linear: np.ndarray):
+    """save_image semantics (yocto_sceneio.cpp:509-560): srgb encode for LDR
+    formats, linear for HDR."""
+    from .scene import image_io
+
+    if path.lower().endswith((".hdr", ".pic")):
+        image_io.save_hdr(path, img_linear[..., :3].astype(np.float32))
+    elif path.lower().endswith(".png") or path.lower().endswith((".jpg", ".jpeg")):
+        srgb = image_io.linear_to_srgb(img_linear[..., :3])
+        rgba = np.concatenate(
+            [srgb, np.clip(img_linear[..., 3:], 0, 1)], axis=-1)
+        out = path if path.lower().endswith(".png") else path + ".png"
+        image_io.save_png(out, rgba)
+    else:
+        raise ValueError(f"unsupported output format: {path}")
