@@ -25,6 +25,7 @@ time of lock-step traversal is the max nodes visited by any ray in the batch).
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -145,17 +146,63 @@ def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
     tri indexes the *permuted* triangle arrays. The bbox test inflates t_far
     by 1.00000024 like the reference slab test (yocto_geometry.h:855).
     tri_pos is unused (kept for API compat); leaf rows carry the geometry.
+
+    Differentiation: traversal is wrapped in a zero-gradient custom_vjp —
+    visibility is a step function, so path gradients flow through materials /
+    volume coefficients, not hit geometry (SURVEY.md §7.9, BASELINE.json).
     """
     R = ray_o.shape[0]
     if tmax is None:
         tmax = jnp.full((R,), FLT_MAX, jnp.float32)
-    safe_d = jnp.where(jnp.abs(ray_d) < 1e-12,
-                       jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
-    inv_d = 1.0 / safe_d
-
     start_cur = jnp.zeros((R,), jnp.int32)
     if alive is not None:
         start_cur = jnp.where(alive, 0, -1)
+    best_t, best_tri, best_uv = _traverse(
+        bvh.node_rec, bvh.leaf_rec, ray_o, ray_d,
+        jnp.minimum(tmax, FLT_MAX), start_cur, float(tmin))
+    hit = best_tri >= 0
+    return {
+        "hit": hit,
+        "dist": jnp.where(hit, best_t, FLT_MAX),
+        "tri": best_tri,
+        "uv": best_uv,
+    }
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _traverse(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
+    return _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur,
+                          tmin)
+
+
+def _traverse_fwd(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
+    out = _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur,
+                         tmin)
+    return out, (node_rec.shape, leaf_rec.shape, ray_o.shape, tmax.shape,
+                 start_cur.shape)
+
+
+def _traverse_bwd(tmin, res, g):
+    node_shape, leaf_shape, ray_shape, tmax_shape, cur_shape = res
+    return (
+        jnp.zeros(node_shape, jnp.float32),
+        jnp.zeros(leaf_shape, jnp.float32),
+        jnp.zeros(ray_shape, jnp.float32),
+        jnp.zeros(ray_shape, jnp.float32),
+        jnp.zeros(tmax_shape, jnp.float32),
+        jnp.zeros(cur_shape, jnp.int32),
+    )
+
+
+_traverse.defvjp(_traverse_fwd, _traverse_bwd)
+
+
+def _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
+    bvh = BvhArrays(node_rec=node_rec, leaf_rec=leaf_rec)
+    R = ray_o.shape[0]
+    safe_d = jnp.where(jnp.abs(ray_d) < 1e-12,
+                       jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
+    inv_d = 1.0 / safe_d
 
     def body(state):
         cur, best_t, best_tri, best_uv = state
@@ -210,10 +257,4 @@ def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
         jnp.zeros((R, 2), jnp.float32),
     )
     cur, best_t, best_tri, best_uv = jax.lax.while_loop(cond, body, init)
-    hit = best_tri >= 0
-    return {
-        "hit": hit,
-        "dist": jnp.where(hit, best_t, FLT_MAX),
-        "tri": best_tri,
-        "uv": best_uv,
-    }
+    return best_t, best_tri, best_uv

@@ -1,0 +1,114 @@
+"""Multi-chip execution: rays sharded, scene replicated, gradients psum'd.
+
+The reference has no distributed path (single-process std::thread,
+SURVEY.md §2.3); the TPU-native scaling axis is the pixel/ray batch. We build
+a 1-D device mesh over axis "rays", shard the pixel axis of the accumulation
+buffer, replicate scene/BVH arrays, and in the differentiable path all-reduce
+material/volume-parameter gradients with psum inside shard_map (XLA overlaps
+the reduction with the backward computation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+DIFF_PARAM_FIELDS = (
+    "mat_emission", "mat_color", "mat_roughness", "mat_metallic",
+    "mat_scattering", "mat_scanisotropy", "mat_trdepth", "grid_values",
+)
+
+
+def extract_params(ds):
+    """Differentiable parameter pytree view of the scene."""
+    return {k: getattr(ds, k) for k in DIFF_PARAM_FIELDS}
+
+
+def insert_params(ds, params):
+    return ds._replace(**params)
+
+
+def make_sharded_render_fn(mesh: Mesh, shade_fn, width: int, height: int,
+                           camera_id: int = 0, total_samples: int = 64,
+                           seed: int = 1301081):
+    """Forward render of one sample, pixels sharded over the mesh.
+
+    Returns render(ds, sample_id) -> (R, 4) accumulation contribution with R
+    sharded on axis "rays". The pixel count must divide the mesh size.
+    """
+    from ..render.state import camera_rays
+
+    axis = mesh.axis_names[0]
+
+    def local_render(ds, pixel_ids, sample_id):
+        o, d = camera_rays(ds, camera_id, width, height, pixel_ids, sample_id,
+                           total_samples, seed)
+        radiance, alpha = shade_fn(ds, o, d, pixel_ids, sample_id)
+        return jnp.concatenate([radiance, alpha[..., None]], axis=-1)
+
+    sharded = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,  # while_loop carries start unvarying (fresh zeros)
+    )
+
+    def render(ds, sample_id):
+        pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+        return sharded(ds, pixel_ids, sample_id)
+
+    return render
+
+
+def make_grad_step(mesh: Mesh, shade_fn, width: int, height: int,
+                   camera_id: int = 0, total_samples: int = 64,
+                   seed: int = 1301081, lr: float = 1e-2):
+    """Full differentiable "training" step: render sharded rays, L2 loss
+    against a target image, grads w.r.t. material/volume params all-reduced
+    across the mesh, SGD update. This is the multi-chip path the driver
+    dry-runs (rays = data parallel axis; params replicated like weights).
+    """
+    from ..render.state import camera_rays
+
+    axis = mesh.axis_names[0]
+
+    def local_step(ds, params, target_local, pixel_ids, sample_id):
+        def loss_fn(p):
+            ds_p = insert_params(ds, p)
+            o, d = camera_rays(ds_p, camera_id, width, height, pixel_ids,
+                               sample_id, total_samples, seed)
+            radiance, _ = shade_fn(ds_p, o, d, pixel_ids, sample_id)
+            # mean over *global* pixels: local sum / global count
+            err = jnp.sum((radiance - target_local) ** 2)
+            return err / (width * height * 3)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return loss, new_params
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # while_loop carries start unvarying (fresh zeros)
+    )
+
+    def step(ds, params, target, sample_id):
+        pixel_ids = jnp.arange(width * height, dtype=jnp.uint32)
+        return sharded(ds, params, target, pixel_ids, sample_id)
+
+    return step

@@ -53,6 +53,9 @@ class RenderParams:
 class Renderer:
     def __init__(self, scene, params: RenderParams | None = None,
                  progress=None):
+        from .runtime import enable_compile_cache
+
+        enable_compile_cache()
         self.params = params or RenderParams()
         p = progress or (lambda *_: None)
         if isinstance(scene, str):
