@@ -1,30 +1,33 @@
-"""BVH: host-side numpy builder + stackless device traversal.
+"""4-wide BVH: host-side numpy builder + lock-step short-stack traversal.
 
 Design (TPU-first, not a port of yocto_bvh.cpp): instance transforms are baked
 into a single world-space triangle soup at flatten time, so one single-level
 BVH replaces the reference's two-level TLAS+BLAS
 (/root/reference/libs/yocto/yocto_bvh.cpp:574-673) — no per-instance ray
-transforms in the hot loop. The tree is *threaded*: every node stores a
-miss-link (skip the subtree); the hit-link is implicit (node+1 = first child
-in DFS preorder), so traversal is a single `lax.while_loop` over a node
-cursor with no per-ray stack — the canonical SIMT layout for lock-step
-vectorized rays.
+transforms in the hot loop.
 
-Memory layout tuned for XLA gather cost (the hot-loop bottleneck):
-  - node record = ONE (N, 8) float32 row: [min.xyz, max.xyz, miss|bits,
-    leaf|bits] — a single gather per traversal step;
-  - leaf triangles live in a separate (L, LEAF_SIZE*9) contiguous row array —
-    a single gather per leaf visit (vs 4 scattered triangle reads);
-  - dead rays enter with cursor -1 and cost nothing (loop ends at the max
-    iteration count among *live* rays).
+The tree is 4-ary: one (N, 32) node row holds all four children's slabs plus
+child refs, so each traversal step costs ONE gather and tests four boxes.
+Children are pushed far-to-near (5-exchange sort network) onto a per-ray
+short stack carried in the while_loop state, giving ordered descent and fast
+tmax shrink. All arithmetic runs on (R,)-shaped component vectors (SoA after
+a single per-gather transpose) — minor-dim-3/4 layouts waste the 128-lane
+VPU (measured 2-4x slower).
 
-Builder uses median splits on the largest centroid axis (balanced depth: wall
-time of lock-step traversal is the max nodes visited by any ray in the batch).
+Child ref encoding: >= 0 internal node index; <= -2 leaf id -(ref+2); -1
+empty slot. Leaves pack LEAF_SIZE triangles into one flat (L, LEAF_SIZE*10)
+row (9 coords each + ids as bit-cast floats); padding triangles are
+degenerate (det == 0 rejected, matching yocto intersect_triangle,
+yocto_geometry.h:798).
+
+Differentiation: traversal is wrapped in a zero-gradient custom_vjp —
+visibility is a step function; path gradients flow through materials/volume
+coefficients, not hit geometry (SURVEY.md §7.9, BASELINE.json).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -33,32 +36,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.vecmath import FLT_MAX, RAY_EPS
-from .intersect import intersect_triangles_one
 
 LEAF_SIZE = 4
+STACK_DEPTH = 32
 
 
 class BvhArrays(NamedTuple):
-    node_rec: jnp.ndarray    # (N, 8) float32: min3, max3, miss(bits), leaf(bits)
-    leaf_rec: jnp.ndarray    # (L, 40) float32: LEAF_SIZE x 9 coords + 4 ids(bits)
-    # layout per leaf row: [tri0 p0xyz p1xyz p2xyz, tri1 ..., tri3 ..., id0..id3]
+    node_rec: jnp.ndarray  # (N, 32): 4x(min3,max3) + 4 child refs (bits) + pad
+    leaf_rec: jnp.ndarray  # (L, LEAF_SIZE*10)
+    root: jnp.ndarray      # () int32 root ref (may itself be a leaf ref)
 
 
-def build_bvh(tri_pos: np.ndarray):
-    """tri_pos: (T, 3, 3) world-space triangle vertices.
-
-    Returns (BvhArrays of numpy arrays, perm): perm reorders triangles so leaf
-    slots index the permuted order; apply perm to all per-triangle arrays.
-    """
+def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
+    """tri_pos: (T, 3, 3) world-space triangles. Returns (BvhArrays numpy,
+    perm); apply perm to all per-triangle arrays."""
     T = tri_pos.shape[0]
+    LS = leaf_size
     if T == 0:
-        rec = np.zeros((1, 8), np.float32)
-        rec[:, 6] = np.float32(np.array([-1], np.int32).view(np.float32)[0])
-        rec[:, 7] = rec[:, 6]
-        leaf_rec = np.zeros((1, 40), np.float32)
-        leaf_rec[:, 36:] = np.full(4, -1, np.int32).view(np.float32)
+        leaf = np.zeros((1, LS * 10), np.float32)
+        leaf[:, LS * 9:] = np.full(LS, -1, np.int32).view(np.float32)
         return (
-            BvhArrays(node_rec=rec, leaf_rec=leaf_rec),
+            BvhArrays(
+                node_rec=np.zeros((1, 32), np.float32),
+                leaf_rec=leaf,
+                root=np.int32(-2),
+            ),
             np.zeros(0, np.int64),
         )
     bb_min = tri_pos.min(axis=1)
@@ -66,71 +68,71 @@ def build_bvh(tri_pos: np.ndarray):
     centers = (bb_min + bb_max) * 0.5
     perm = np.arange(T)
 
-    node_min, node_max, node_leaf, spans = [], [], [], []
-    stack = [(0, T, 0)]
-    while stack:
-        start, end, depth = stack.pop()
+    sys.setrecursionlimit(100000)
+    nodes = []      # (refs[4], ranges[4])
+    leaf_meta = []  # (start, count)
+
+    def split2(start, end):
         ids = perm[start:end]
-        node_min.append(bb_min[ids].min(axis=0))
-        node_max.append(bb_max[ids].max(axis=0))
-        spans.append((start, end))
-        count = end - start
-        if count <= LEAF_SIZE or depth > 60:
-            node_leaf.append((start, min(count, LEAF_SIZE)))
-            continue
         c = centers[ids]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         order = np.argsort(c[:, axis], kind="stable")
         perm[start:end] = ids[order]
-        mid = start + count // 2
-        node_leaf.append(None)
-        stack.append((mid, end, depth + 1))
-        stack.append((start, mid, depth + 1))
+        return start + (end - start) // 2
 
-    N = len(node_min)
-    spans = np.asarray(spans, np.int64)
+    def emit(start, end, depth):
+        count = end - start
+        if count <= LS or depth > 40:
+            leaf_meta.append((start, min(count, LS)))
+            return -(len(leaf_meta) - 1) - 2
+        mid = split2(start, end)
+        q1 = split2(start, mid)
+        q3 = split2(mid, end)
+        my = len(nodes)
+        nodes.append(None)
+        ranges = [(start, q1), (q1, mid), (mid, q3), (q3, end)]
+        refs = [emit(s, e, depth + 1) if e > s else -1 for s, e in ranges]
+        nodes[my] = (refs, ranges)
+        return my
 
-    # miss link of node i: first node after i in preorder whose span starts at
-    # span_end[i]; -1 if none
-    by_start = defaultdict(list)
-    for j in range(N):
-        by_start[int(spans[j, 0])].append(j)
-    miss = np.full(N, -1, np.int32)
-    for i in range(N):
-        for j in by_start.get(int(spans[i, 1]), ()):
-            if j > i:
-                miss[i] = j
-                break
+    root = emit(0, T, 0)
+    tri_posp = tri_pos[perm]
+    pre_min = np.minimum.reduce(tri_posp, axis=1)
+    pre_max = np.maximum.reduce(tri_posp, axis=1)
+    N = max(len(nodes), 1)
+    node_rec = np.zeros((N, 32), np.float32)
+    for i, entry in enumerate(nodes):
+        refs, ranges = entry
+        for k, ((s, e), ref) in enumerate(zip(ranges, refs)):
+            if e > s:
+                lo = pre_min[s:e].min(axis=0)
+                hi = pre_max[s:e].max(axis=0)
+            else:
+                lo = np.full(3, 1e30, np.float32)
+                hi = np.full(3, -1e30, np.float32)
+            node_rec[i, k * 6:k * 6 + 3] = lo
+            node_rec[i, k * 6 + 3:k * 6 + 6] = hi
+        node_rec[i, 24:28] = np.asarray(refs, np.int32).view(np.float32)
 
-    # leaves: contiguous permuted ranges -> packed flat rows
-    leaf_rows, node_leaf_idx = [], np.full(N, -1, np.int32)
-    tri_pos_perm = tri_pos[perm]
-    for i in range(N):
-        if node_leaf[i] is None:
-            continue
-        start, count = node_leaf[i]
-        node_leaf_idx[i] = len(leaf_rows)
-        row = np.zeros(40, np.float32)
-        tris = np.zeros((LEAF_SIZE, 9), np.float32)
-        tris[:count] = tri_pos_perm[start:start + count].reshape(count, 9)
-        # degenerate padding triangles never intersect (det == 0 rejected)
-        row[:36] = tris.reshape(-1)
-        ids = np.full(LEAF_SIZE, -1, np.int32)
+    L = max(len(leaf_meta), 1)
+    leaf_rec = np.zeros((L, LS * 10), np.float32)
+    leaf_rec[:, LS * 9:] = np.full(LS, -1, np.int32).view(np.float32)
+    for li, (start, count) in enumerate(leaf_meta):
+        tris = np.zeros((LS, 9), np.float32)
+        tris[:count] = tri_posp[start:start + count].reshape(count, 9)
+        leaf_rec[li, :LS * 9] = tris.reshape(-1)
+        ids = np.full(LS, -1, np.int32)
         ids[:count] = np.arange(start, start + count, dtype=np.int32)
-        row[36:] = ids.view(np.float32)
-        leaf_rows.append(row)
+        leaf_rec[li, LS * 9:] = ids.view(np.float32)
 
-    rec = np.zeros((N, 8), np.float32)
-    rec[:, 0:3] = np.asarray(node_min, np.float32)
-    rec[:, 3:6] = np.asarray(node_max, np.float32)
-    rec[:, 6] = miss.view(np.float32)
-    rec[:, 7] = node_leaf_idx.view(np.float32)
-
-    arrays = BvhArrays(
-        node_rec=rec,
-        leaf_rec=np.stack(leaf_rows).astype(np.float32),
+    return (
+        BvhArrays(
+            node_rec=node_rec,
+            leaf_rec=leaf_rec,
+            root=np.int32(root),
+        ),
+        perm,
     )
-    return arrays, perm
 
 
 # ---------------------------------------------------------------------------
@@ -139,122 +141,162 @@ def build_bvh(tri_pos: np.ndarray):
 
 def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
                   tmin=RAY_EPS, alive=None):
-    """Closest-hit over batched rays via threaded-BVH while_loop.
-
-    ray_o, ray_d: (R, 3). alive: optional (R,) bool — dead rays skip traversal
-    entirely. Returns dict(hit (R,), dist (R,), tri (R,), uv (R,2)).
-    tri indexes the *permuted* triangle arrays. The bbox test inflates t_far
-    by 1.00000024 like the reference slab test (yocto_geometry.h:855).
-    tri_pos is unused (kept for API compat); leaf rows carry the geometry.
-
-    Differentiation: traversal is wrapped in a zero-gradient custom_vjp —
-    visibility is a step function, so path gradients flow through materials /
-    volume coefficients, not hit geometry (SURVEY.md §7.9, BASELINE.json).
-    """
+    """Closest-hit over batched rays. ray_o, ray_d: (R, 3); alive: optional
+    mask — dead rays cost nothing. Returns dict(hit, dist, tri, uv); tri
+    indexes the permuted triangle arrays. tri_pos unused (leaf rows carry
+    geometry; kept for API stability)."""
     R = ray_o.shape[0]
     if tmax is None:
         tmax = jnp.full((R,), FLT_MAX, jnp.float32)
-    start_cur = jnp.zeros((R,), jnp.int32)
-    if alive is not None:
-        start_cur = jnp.where(alive, 0, -1)
-    best_t, best_tri, best_uv = _traverse(
-        bvh.node_rec, bvh.leaf_rec, ray_o, ray_d,
-        jnp.minimum(tmax, FLT_MAX), start_cur, float(tmin))
+    alive_mask = jnp.ones((R,), bool) if alive is None else alive
+    best_t, best_tri, best_u, best_v = _traverse(
+        bvh.node_rec, bvh.leaf_rec, bvh.root, ray_o, ray_d,
+        jnp.minimum(tmax, FLT_MAX), alive_mask, float(tmin))
     hit = best_tri >= 0
     return {
         "hit": hit,
         "dist": jnp.where(hit, best_t, FLT_MAX),
         "tri": best_tri,
-        "uv": best_uv,
+        "uv": jnp.stack([best_u, best_v], axis=-1),
     }
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _traverse(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
-    return _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur,
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _traverse(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive, tmin):
+    return _traverse_impl(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive,
                           tmin)
 
 
-def _traverse_fwd(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
-    out = _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur,
+def _traverse_fwd(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive, tmin):
+    out = _traverse_impl(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive,
                          tmin)
     return out, (node_rec.shape, leaf_rec.shape, ray_o.shape, tmax.shape,
-                 start_cur.shape)
+                 alive.shape)
 
 
 def _traverse_bwd(tmin, res, g):
-    node_shape, leaf_shape, ray_shape, tmax_shape, cur_shape = res
+    node_shape, leaf_shape, ray_shape, tmax_shape, alive_shape = res
     return (
         jnp.zeros(node_shape, jnp.float32),
         jnp.zeros(leaf_shape, jnp.float32),
+        jnp.zeros((), jnp.int32),
         jnp.zeros(ray_shape, jnp.float32),
         jnp.zeros(ray_shape, jnp.float32),
         jnp.zeros(tmax_shape, jnp.float32),
-        jnp.zeros(cur_shape, jnp.int32),
+        jnp.zeros(alive_shape, bool),
     )
 
 
 _traverse.defvjp(_traverse_fwd, _traverse_bwd)
 
 
-def _traverse_impl(node_rec, leaf_rec, ray_o, ray_d, tmax, start_cur, tmin):
-    bvh = BvhArrays(node_rec=node_rec, leaf_rec=leaf_rec)
+def _traverse_impl(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive, tmin):
     R = ray_o.shape[0]
-    safe_d = jnp.where(jnp.abs(ray_d) < 1e-12,
-                       jnp.where(ray_d >= 0, 1e-12, -1e-12), ray_d)
-    inv_d = 1.0 / safe_d
+    LS = leaf_rec.shape[1] // 10
+    ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
+    dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    sd = lambda x: jnp.where(jnp.abs(x) < 1e-12,
+                             jnp.where(x >= 0, 1e-12, -1e-12), x)
+    ix, iy, iz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+
+    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32)
+    stack = stack.at[:, 0].set(jnp.where(alive, root, -1))
+    sp = jnp.where(alive, 1, 0).astype(jnp.int32)
+    pos_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
 
     def body(state):
-        cur, best_t, best_tri, best_uv = state
-        active = cur >= 0
-        node = jnp.maximum(cur, 0)
-        rec = bvh.node_rec[node]  # (R, 8) single gather
-        nmin = rec[:, 0:3]
-        nmax = rec[:, 3:6]
-        miss = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32)
-        leaf = jax.lax.bitcast_convert_type(rec[:, 7], jnp.int32)
+        stack, sp, best_t, best_tri, best_u, best_v = state
+        active = sp > 0
+        spm = jnp.maximum(sp - 1, 0)
+        ref = jnp.take_along_axis(stack, spm[:, None], axis=1)[:, 0]
+        ref = jnp.where(active, ref, -1)
+        sp = jnp.where(active, spm, sp)
+        is_int = ref >= 0
+        is_leaf = ref <= -2
 
-        t0 = (nmin - ray_o) * inv_d
-        t1 = (nmax - ray_o) * inv_d
-        tn = jnp.minimum(t0, t1)
-        tf = jnp.maximum(t0, t1)
-        t_near = jnp.maximum(jnp.max(tn, axis=-1), tmin)
-        t_far = jnp.minimum(jnp.min(tf, axis=-1), best_t) * 1.00000024
-        bbox_hit = (t_near <= t_far) & active
+        # internal: one gather, four slab tests on (R,) components
+        nrec = node_rec[jnp.where(is_int, ref, 0)]
+        nt = nrec.T  # (32, R)
+        crefs = jax.lax.bitcast_convert_type(nrec[:, 24:28], jnp.int32)
+        tn_l, ref_l = [], []
+        for k in range(4):
+            b = k * 6
+            t0x = (nt[b + 0] - ox) * ix
+            t1x = (nt[b + 3] - ox) * ix
+            t0y = (nt[b + 1] - oy) * iy
+            t1y = (nt[b + 4] - oy) * iy
+            t0z = (nt[b + 2] - oz) * iz
+            t1z = (nt[b + 5] - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t)) * 1.00000024
+            hit_k = is_int & (crefs[:, k] != -1) & (tnear <= tfar)
+            tn_l.append(jnp.where(hit_k, tnear, -jnp.inf))
+            ref_l.append(jnp.where(hit_k, crefs[:, k], -1))
 
-        is_leaf = leaf >= 0
-        do_prims = bbox_hit & is_leaf
-        leaf_idx = jnp.where(do_prims, leaf, 0)
-        lrec = bvh.leaf_rec[leaf_idx]     # (R, 40) single gather
-        ids = jax.lax.bitcast_convert_type(lrec[:, 36:40], jnp.int32)
-        # unrolled per-slot Moller-Trumbore on (R,)-shaped columns: keeps all
-        # elementwise work fully lane-utilized (minor-dim-4 layouts waste the
-        # 128-lane VPU)
-        for k in range(LEAF_SIZE):
-            base = k * 9
-            p0 = lrec[:, base + 0:base + 3]
-            p1 = lrec[:, base + 3:base + 6]
-            p2 = lrec[:, base + 6:base + 9]
-            t_k, uv_k, hit_k = intersect_triangles_one(
-                ray_o, ray_d, p0, p1, p2, tmin, best_t)
-            hit_k = hit_k & do_prims & (ids[:, k] >= 0)
-            take = hit_k & (t_k < best_t)
-            best_t = jnp.where(take, t_k, best_t)
-            best_tri = jnp.where(take, ids[:, k], best_tri)
-            best_uv = jnp.where(take[:, None], uv_k, best_uv)
+        # sort descending by tnear so the nearest child is popped first
+        def cswap(i, j):
+            swap = tn_l[i] < tn_l[j]
+            tn_l[i], tn_l[j] = (jnp.where(swap, tn_l[j], tn_l[i]),
+                                jnp.where(swap, tn_l[i], tn_l[j]))
+            ref_l[i], ref_l[j] = (jnp.where(swap, ref_l[j], ref_l[i]),
+                                  jnp.where(swap, ref_l[i], ref_l[j]))
 
-        nxt = jnp.where(bbox_hit & ~is_leaf, cur + 1, miss)
-        cur = jnp.where(active, nxt, cur)
-        return cur, best_t, best_tri, best_uv
+        cswap(0, 1); cswap(2, 3); cswap(0, 2); cswap(1, 3); cswap(1, 2)
+
+        for k in range(4):
+            hit_k = ref_l[k] != -1
+            mask = hit_k[:, None] & (pos_iota == sp[:, None])
+            stack = jnp.where(mask, ref_l[k][:, None], stack)
+            sp = sp + hit_k.astype(jnp.int32)
+
+        # leaf: one gather, LS Moller-Trumbore tests on (R,) components
+        lid = jnp.where(is_leaf, -ref - 2, 0)
+        lrec = leaf_rec[lid]
+        lt = lrec.T  # (LS*10, R)
+        ids = jax.lax.bitcast_convert_type(lrec[:, LS * 9:], jnp.int32)
+        for k in range(LS):
+            b = k * 9
+            p0x, p0y, p0z = lt[b], lt[b + 1], lt[b + 2]
+            e1x = lt[b + 3] - p0x
+            e1y = lt[b + 4] - p0y
+            e1z = lt[b + 5] - p0z
+            e2x = lt[b + 6] - p0x
+            e2y = lt[b + 7] - p0y
+            e2z = lt[b + 8] - p0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / jnp.where(det != 0, det, 1.0)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+            hit_k = (
+                is_leaf & (det != 0) & (u >= 0) & (u <= 1) & (v >= 0)
+                & (u + v <= 1) & (tt >= tmin) & (tt <= best_t)
+                & (ids[:, k] >= 0))
+            best_t = jnp.where(hit_k, tt, best_t)
+            best_tri = jnp.where(hit_k, ids[:, k], best_tri)
+            best_u = jnp.where(hit_k, u, best_u)
+            best_v = jnp.where(hit_k, v, best_v)
+
+        return stack, sp, best_t, best_tri, best_u, best_v
 
     def cond(state):
-        return jnp.any(state[0] >= 0)
+        return jnp.any(state[1] > 0)
 
     init = (
-        start_cur,
-        jnp.minimum(tmax, FLT_MAX),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R, 2), jnp.float32),
+        stack, sp, tmax, jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.float32), jnp.zeros((R,), jnp.float32),
     )
-    cur, best_t, best_tri, best_uv = jax.lax.while_loop(cond, body, init)
-    return best_t, best_tri, best_uv
+    _, _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+        cond, body, init)
+    return best_t, best_tri, best_u, best_v

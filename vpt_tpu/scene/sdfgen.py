@@ -108,66 +108,80 @@ def mesh_to_sdf(positions, triangles, dims=(64, 64, 64), padding=0.05,
 
 
 def _jax_distance_and_sign(pts, a, b, c):
+    """Distance+sign, chunked over BOTH points and triangles (lax.scan over
+    triangle blocks) so intermediates stay (P_CHUNK, T_CHUNK)-sized."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.intersect import intersect_triangles_one
 
-    a_j, b_j, c_j = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    T_CHUNK = 4096
+    P_CHUNK = 2048
+    T = a.shape[0]
+    t_pad = ((T + T_CHUNK - 1) // T_CHUNK) * T_CHUNK
+    # pad with far-away degenerate triangles (never closest, never hit)
+    far = np.full((t_pad - T, 3), 1e9, np.float32)
+    a_p = jnp.asarray(np.concatenate([a, far]).reshape(-1, T_CHUNK, 3))
+    b_p = jnp.asarray(np.concatenate([b, far]).reshape(-1, T_CHUNK, 3))
+    c_p = jnp.asarray(np.concatenate([c, far]).reshape(-1, T_CHUNK, 3))
 
     @jax.jit
     def chunk_fn(p):
-        # unsigned distance
-        ab, ac = b_j - a_j, c_j - a_j
-        ap = p[:, None, :] - a_j[None]
-        d1 = jnp.einsum("tk,ntk->nt", ab, ap)
-        d2 = jnp.einsum("tk,ntk->nt", ac, ap)
-        bp = p[:, None, :] - b_j[None]
-        d3 = jnp.einsum("tk,ntk->nt", ab, bp)
-        d4 = jnp.einsum("tk,ntk->nt", ac, bp)
-        cp = p[:, None, :] - c_j[None]
-        d5 = jnp.einsum("tk,ntk->nt", ab, cp)
-        d6 = jnp.einsum("tk,ntk->nt", ac, cp)
-        va = d3 * d6 - d5 * d4
-        vb = d5 * d2 - d1 * d6
-        vc = d1 * d4 - d3 * d2
-        safe = lambda x: jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
-        v_i = vb / safe(va + vb + vc)
-        w_i = vc / safe(va + vb + vc)
-        closest = a_j[None] + v_i[..., None] * ab[None] + w_i[..., None] * ac[None]
-        w_ac = jnp.clip(d2 / safe(d2 - d6), 0, 1)
-        closest = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
-                            a_j[None] + w_ac[..., None] * ac[None], closest)
-        w_bc = jnp.clip((d4 - d3) / safe((d4 - d3) + (d5 - d6)), 0, 1)
-        closest = jnp.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None],
-                            b_j[None] + w_bc[..., None] * (c_j - b_j)[None], closest)
-        v_ab = jnp.clip(d1 / safe(d1 - d3), 0, 1)
-        closest = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
-                            a_j[None] + v_ab[..., None] * ab[None], closest)
-        closest = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c_j[None], closest)
-        closest = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b_j[None], closest)
-        closest = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a_j[None], closest)
-        dist = jnp.linalg.norm(p[:, None, :] - closest, axis=-1).min(axis=1)
+        def tri_block(carry, abc):
+            best, hits = carry
+            a_j, b_j, c_j = abc
+            ab, ac = b_j - a_j, c_j - a_j
+            ap = p[:, None, :] - a_j[None]
+            d1 = jnp.einsum("tk,ntk->nt", ab, ap)
+            d2 = jnp.einsum("tk,ntk->nt", ac, ap)
+            bp = p[:, None, :] - b_j[None]
+            d3 = jnp.einsum("tk,ntk->nt", ab, bp)
+            d4 = jnp.einsum("tk,ntk->nt", ac, bp)
+            cp = p[:, None, :] - c_j[None]
+            d5 = jnp.einsum("tk,ntk->nt", ab, cp)
+            d6 = jnp.einsum("tk,ntk->nt", ac, cp)
+            va = d3 * d6 - d5 * d4
+            vb = d5 * d2 - d1 * d6
+            vc = d1 * d4 - d3 * d2
+            safe = lambda x: jnp.where(jnp.abs(x) < 1e-30, 1e-30, x)
+            v_i = vb / safe(va + vb + vc)
+            w_i = vc / safe(va + vb + vc)
+            closest = a_j[None] + v_i[..., None] * ab[None] + w_i[..., None] * ac[None]
+            w_ac = jnp.clip(d2 / safe(d2 - d6), 0, 1)
+            closest = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                                a_j[None] + w_ac[..., None] * ac[None], closest)
+            w_bc = jnp.clip((d4 - d3) / safe((d4 - d3) + (d5 - d6)), 0, 1)
+            closest = jnp.where(
+                ((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None],
+                b_j[None] + w_bc[..., None] * (c_j - b_j)[None], closest)
+            v_ab = jnp.clip(d1 / safe(d1 - d3), 0, 1)
+            closest = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                                a_j[None] + v_ab[..., None] * ab[None], closest)
+            closest = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c_j[None], closest)
+            closest = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b_j[None], closest)
+            closest = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a_j[None], closest)
+            dist = jnp.linalg.norm(p[:, None, :] - closest, axis=-1).min(axis=1)
 
-        # sign: ray parity along +x (count crossings)
-        dirx = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), p.shape)
-        t, _, hitm = intersect_triangles_one(
-            p[:, None, :], dirx[:, None, :], a_j[None], b_j[None], c_j[None],
-            0.0, jnp.inf,
-        )
-        parity = jnp.sum(hitm, axis=1) % 2
-        sign = jnp.where(parity == 1, -1.0, 1.0)
+            dirx = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), p.shape)
+            _, _, hitm = intersect_triangles_one(
+                p[:, None, :], dirx[:, None, :], a_j[None], b_j[None], c_j[None],
+                0.0, jnp.inf)
+            return (jnp.minimum(best, dist),
+                    hits + jnp.sum(hitm, axis=1).astype(jnp.int32)), None
+
+        init = (jnp.full(p.shape[0], jnp.inf), jnp.zeros(p.shape[0], jnp.int32))
+        (dist, hits), _ = jax.lax.scan(tri_block, init, (a_p, b_p, c_p))
+        sign = jnp.where(hits % 2 == 1, -1.0, 1.0)
         return dist, sign
 
     n = pts.shape[0]
-    chunk = 8192
     dist = np.empty(n, np.float32)
     sign = np.empty(n, np.float32)
-    pad_n = ((n + chunk - 1) // chunk) * chunk
+    pad_n = ((n + P_CHUNK - 1) // P_CHUNK) * P_CHUNK
     pts_pad = np.concatenate([pts, np.zeros((pad_n - n, 3), np.float32)])
-    for s in range(0, pad_n, chunk):
-        d_c, s_c = chunk_fn(jnp.asarray(pts_pad[s:s + chunk]))
-        e = min(s + chunk, n)
+    for s in range(0, pad_n, P_CHUNK):
+        d_c, s_c = chunk_fn(jnp.asarray(pts_pad[s:s + P_CHUNK]))
+        e = min(s + P_CHUNK, n)
         if s < n:
             dist[s:e] = np.asarray(d_c)[: e - s]
             sign[s:e] = np.asarray(s_c)[: e - s]
