@@ -63,11 +63,15 @@ def reflect(w, n):
 
 
 def refract(w, n, inv_eta):
-    """Refraction; returns 0 on total internal reflection (yocto_math.h:1644)."""
+    """Refraction; returns 0 on total internal reflection (yocto_math.h:1644).
+    sqrt input masked on the TIR branch (infinite sqrt(0) gradient would leak
+    NaNs through the where)."""
     cosine = dot(n, w)
     k = 1.0 + inv_eta * inv_eta * (cosine * cosine - 1.0)
-    out = -w * _b(inv_eta) + (inv_eta * cosine - jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * n
-    return jnp.where((k < 0.0)[..., None], 0.0, out)
+    tir = k < 0.0
+    root = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(k, 1e-12)))
+    out = -w * _b(inv_eta) + (inv_eta * cosine - root)[..., None] * n
+    return jnp.where(tir[..., None], 0.0, out)
 
 
 def _b(x):

@@ -21,13 +21,15 @@ def fresnel_schlick(specular, normal, outgoing):
 
 
 def fresnel_dielectric(eta, normal, outgoing):
-    """Exact dielectric Fresnel; returns 1 on TIR (yocto_shading.h:311-331)."""
+    """Exact dielectric Fresnel; returns 1 on TIR (yocto_shading.h:311-331).
+    The sqrt input is masked on the TIR branch: sqrt(0) has an infinite
+    gradient that would leak NaN cotangents through the jnp.where."""
     cosw = jnp.abs(dot(normal, outgoing))
     sin2 = 1.0 - cosw * cosw
     eta2 = eta * eta
     cos2t = 1.0 - sin2 / eta2
     tir = cos2t < 0.0
-    t0 = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    t0 = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(cos2t, 1e-12)))
     t1 = eta * t0
     t2 = eta * cosw
     rs = (cosw - t1) / jnp.where(cosw + t1 != 0.0, cosw + t1, 1.0)
@@ -61,7 +63,9 @@ def eta_to_reflectivity(eta):
 
 
 def reflectivity_to_eta(reflectivity):
-    r = jnp.clip(reflectivity, 0.0, 0.99)
+    # floor at 1e-6: sqrt(0) has infinite gradient and this runs (masked) for
+    # every material in the branchless dispatch
+    r = jnp.clip(reflectivity, 1e-6, 0.99)
     return (1.0 + jnp.sqrt(r)) / (1.0 - jnp.sqrt(r))
 
 
@@ -81,7 +85,7 @@ def microfacet_shadowing1(roughness, normal, halfway, direction):
     r2 = roughness * roughness
     c2 = cosine * cosine
     g = 2.0 * jnp.abs(cosine) / (
-        jnp.abs(cosine) + jnp.sqrt(jnp.maximum(c2 - r2 * c2 + r2, 0.0))
+        jnp.abs(cosine) + jnp.sqrt(jnp.maximum(c2 - r2 * c2 + r2, 1e-12))
     )
     return jnp.where(cosine * cosineh <= 0.0, 0.0, g)
 

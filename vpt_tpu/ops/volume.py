@@ -14,8 +14,15 @@ import jax.numpy as jnp
 from ..core.vecmath import FLT_MAX, PIF, basis_apply, basis_fromz, dot
 
 
+def _exp_neg(x):
+    # bounded exponent: exp(-x) with x clipped to [0, 80] — unbounded products
+    # (sigma * FLT_MAX-ish distances in masked branches) otherwise leak
+    # inf/NaN cotangents through XLA-fused vjps
+    return jnp.exp(-jnp.clip(x, 0.0, 80.0))
+
+
 def eval_transmittance(density, distance):
-    return jnp.exp(-density * distance[..., None])
+    return _exp_neg(density * distance[..., None])
 
 
 def sample_transmittance(density, max_distance, rl, rd):
@@ -32,8 +39,8 @@ def sample_transmittance(density, max_distance, rl, rd):
 
 def sample_transmittance_pdf(density, distance, max_distance):
     inside = distance < max_distance
-    pdf_in = jnp.sum(density * jnp.exp(-density * distance[..., None]), axis=-1) / 3.0
-    pdf_out = jnp.sum(jnp.exp(-density * max_distance[..., None]), axis=-1) / 3.0
+    pdf_in = jnp.sum(density * _exp_neg(density * distance[..., None]), axis=-1) / 3.0
+    pdf_out = jnp.sum(_exp_neg(density * max_distance[..., None]), axis=-1) / 3.0
     return jnp.where(inside, pdf_in, pdf_out)
 
 
@@ -51,7 +58,7 @@ def sample_phasefunction(anisotropy, outgoing, rn):
     square = (1.0 - g * g) / (1.0 + g - 2.0 * g * rn[..., 1])
     cos_aniso = (1.0 + g * g - square * square) / (2.0 * g)
     cos_theta = jnp.where(iso, cos_iso, cos_aniso)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_theta * cos_theta))
     phi = 2.0 * PIF * rn[..., 0]
     local = jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1

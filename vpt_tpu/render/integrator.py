@@ -34,6 +34,9 @@ from .lights import sample_lights, sample_lights_pdf
 DRAWS_PER_BOUNCE = 16
 CAMERA_DRAWS = 4
 
+# debugging aid: unroll the bounce loop so jax_debug_nans points at the op
+UNROLL_BOUNCES_DEBUG = False
+
 
 class PathState(NamedTuple):
     ray_o: jnp.ndarray      # (R, 3)
@@ -101,9 +104,15 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             in_vol = alive & (st.vol_depth > 0) if enable_volume else (
                 jnp.zeros_like(alive))
             if enable_volume:
-                t_dist = V.sample_transmittance(st.vol_density, dist_surf, u(0), u(1))
+                # sanitize inputs for rays not in a volume: FLT_MAX distances
+                # in the unselected where-branch poison reverse-mode AD
+                # (0 * inf = NaN cotangents)
+                safe_surf = jnp.where(
+                    in_vol, jnp.minimum(dist_surf, 1e30), 1.0)
+                t_dist = V.sample_transmittance(st.vol_density, safe_surf, u(0), u(1))
+                t_dist = jnp.where(in_vol, jnp.minimum(t_dist, 1e30), 0.5)
                 w_tr = V.eval_transmittance(st.vol_density, t_dist) / jnp.maximum(
-                    V.sample_transmittance_pdf(st.vol_density, t_dist, dist_surf),
+                    V.sample_transmittance_pdf(st.vol_density, t_dist, safe_surf),
                     1e-30)[..., None]
                 weight = jnp.where(in_vol[..., None], st.weight * w_tr, st.weight)
                 in_scatter = in_vol & (t_dist < dist_surf)
@@ -240,7 +249,11 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
         # ~20x through the remote-compile tunnel); dead rays cost ~nothing in
         # later bounces because traversal starts with cursor -1 for them and
         # the inner while exits immediately once all are dead
-        state, _ = jax.lax.scan(bounce_step, state, jnp.arange(bounces))
+        if UNROLL_BOUNCES_DEBUG:
+            for b in range(bounces):
+                state, _ = bounce_step(state, jnp.int32(b))
+        else:
+            state, _ = jax.lax.scan(bounce_step, state, jnp.arange(bounces))
         radiance = state.radiance
         finite = jnp.all(jnp.isfinite(radiance), axis=-1)
         radiance = jnp.where(finite[..., None], radiance, 0.0)

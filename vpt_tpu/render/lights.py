@@ -168,7 +168,10 @@ def sample_lights_pdf(ds, lights, position, direction, spheretrace_fn=None):
                 cross(v[..., 1, :] - v[..., 0, :], v[..., 2, :] - v[..., 0, :])
             )
             cosw = jnp.abs(jnp.sum(gn * direction[..., None, :], axis=-1))
-            lpos = position[..., None, :] + direction[..., None, :] * t[..., None]
+            # mask missed-hit distances (FLT_MAX) before squaring: the
+            # unselected where-branch would leak inf/NaN cotangents
+            t_safe = jnp.where(hit, t, 1.0)
+            lpos = position[..., None, :] + direction[..., None, :] * t_safe[..., None]
             d2 = distance_squared(lpos, position[..., None, :])
             contrib = jnp.where(
                 hit & (cosw > 1e-12), d2 / jnp.where(cosw > 1e-12, cosw * area, 1.0), 0.0
