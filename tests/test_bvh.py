@@ -85,3 +85,33 @@ def test_bvh_quadsphere_dense():
     np.testing.assert_allclose(
         np.asarray(res["dist"])[h], np.asarray(ref["dist"])[h], rtol=1e-5
     )
+
+
+def test_pallas_packet_matches_xla_traversal():
+    """The Pallas packet kernel (interpret mode on CPU) must agree with the
+    XLA traversal element-for-element: hits, tri ids, distances, uv."""
+    from vpt_tpu.ops.bvh_pallas import from_bvh_arrays, intersect_bvh_pallas
+
+    from vpt_tpu.scene.ply import load_ply
+
+    m = load_ply("/root/reference/tests/03_volume/shapes/sphere.ply")
+    q = m["quads"]
+    tris = m["positions"][np.concatenate([q[:, [0, 1, 3]], q[:, [2, 3, 1]]])]
+    bvh, perm = build_bvh(tris)
+    trisp = tris[perm]
+    o, d = _rays_at(tris.min((0, 1)), tris.max((0, 1)), 256, seed=5)
+    bvh_d = jax.tree.map(jnp.asarray, bvh)
+    pb = jax.tree.map(jnp.asarray, from_bvh_arrays(bvh))
+    alive = np.random.RandomState(9).rand(256) > 0.25
+    ref = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o),
+                        jnp.asarray(d), alive=jnp.asarray(alive))
+    new = intersect_bvh_pallas(pb, jnp.asarray(o), jnp.asarray(d),
+                               alive=jnp.asarray(alive), interpret=True)
+    assert np.array_equal(np.asarray(ref["hit"]), np.asarray(new["hit"]))
+    h = np.asarray(ref["hit"])
+    assert h.sum() >= 10
+    assert np.array_equal(np.asarray(ref["tri"])[h], np.asarray(new["tri"])[h])
+    np.testing.assert_allclose(
+        np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ref["uv"])[h], np.asarray(new["uv"])[h], rtol=1e-5, atol=1e-6)

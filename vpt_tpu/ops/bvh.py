@@ -139,6 +139,49 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
 # device traversal
 # ---------------------------------------------------------------------------
 
+def _backend_default():
+    """Pallas packet kernel on TPU; XLA while-loop elsewhere (the kernel is
+    correct everywhere but interpret mode is too slow for CPU test runs)."""
+    import os
+
+    choice = os.environ.get("VPT_BVH", "auto")
+    if choice in ("pallas", "xla"):
+        return choice
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+_BACKEND = None
+
+
+def traversal_backend() -> str:
+    global _BACKEND
+    if _BACKEND is None:
+        _BACKEND = _backend_default()
+    return _BACKEND
+
+
+def set_traversal_backend(name: str | None):
+    """Force 'pallas' / 'xla'; None re-detects from the JAX backend."""
+    global _BACKEND
+    assert name in (None, "pallas", "xla")
+    _BACKEND = name
+
+
+def intersect_scene(ds, ray_o, ray_d, tmax=None, tmin=RAY_EPS, alive=None):
+    """Closest-hit against the scene BVH, dispatching to the Pallas packet
+    kernel (ops/bvh_pallas.py) on TPU or the XLA traversal elsewhere."""
+    if traversal_backend() == "pallas":
+        from .bvh_pallas import intersect_bvh_pallas
+
+        return intersect_bvh_pallas(ds.bvh_packed, ray_o, ray_d, tmax=tmax,
+                                    tmin=tmin, alive=alive)
+    return intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d, tmax=tmax,
+                         tmin=tmin, alive=alive)
+
+
 def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
                   tmin=RAY_EPS, alive=None):
     """Closest-hit over batched rays. ray_o, ray_d: (R, 3); alive: optional

@@ -27,7 +27,7 @@ from ..core import rng
 from ..core.vecmath import FLT_MAX, dot, vmax
 from ..ops import bsdf as B
 from ..ops import volume as V
-from ..ops.bvh import intersect_bvh
+from ..ops.bvh import intersect_scene
 from . import sceneval as SE
 from .lights import sample_lights, sample_lights_pdf
 
@@ -89,8 +89,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             u = lambda k: _u(pixel_id, sample_id, bounce, k, seed)
             u2 = lambda k: _u2(pixel_id, sample_id, bounce, k, seed)
 
-            isect = intersect_bvh(ds.bvh, ds.tri_pos, st.ray_o, st.ray_d,
-                                  alive=st.alive)
+            isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive)
             hit = isect["hit"]
             # environment on miss
             env = SE.eval_environment(ds, st.ray_d, n_envs)
@@ -275,7 +274,7 @@ def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
         hit0 = jnp.zeros((R,), bool)
         o, d = ray_o, ray_d
         for bounce in range(max(bounces, 4)):
-            isect = intersect_bvh(ds.bvh, ds.tri_pos, o, d)
+            isect = intersect_scene(ds, o, d)
             hit = isect["hit"]
             env = SE.eval_environment(ds, d, n_envs)
             radiance = jnp.where(
@@ -315,7 +314,7 @@ def make_debug_shader(n_envs: int, which: str):
     """First-hit AOVs: normal / texcoord / color (cpp:893-930)."""
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
-        isect = intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d)
+        isect = intersect_scene(ds, ray_o, ray_d)
         hit = isect["hit"]
         tri = jnp.maximum(isect["tri"], 0)
         uv = isect["uv"]

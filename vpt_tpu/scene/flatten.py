@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.vecmath import np_transform_point, np_transform_vector
 from ..ops.bvh import BvhArrays, build_bvh
+from ..ops.bvh_pallas import PallasBvh, from_bvh_arrays
 from .schema import HostScene
 
 
@@ -36,8 +37,10 @@ class SceneArrays(NamedTuple):
     vert_normal: np.ndarray   # (V, 3) world-space
     vert_texcoord: np.ndarray # (V, 2)
     vert_color: np.ndarray    # (V, 4)
-    # bvh
+    # bvh (same tree in two layouts: fused records for the XLA traversal,
+    # 128-lane packed rows for the Pallas packet kernel)
     bvh: BvhArrays
+    bvh_packed: "PallasBvh"
     # materials
     mat_type: np.ndarray      # (M,)
     mat_emission: np.ndarray  # (M, 3)
@@ -324,6 +327,7 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         vert_texcoord=vert_texcoord,
         vert_color=vert_color,
         bvh=bvh,
+        bvh_packed=from_bvh_arrays(bvh),
         mat_type=marr(lambda m: m.type, dtype=i32),
         mat_emission=marr(lambda m: m.emission, (3,)),
         mat_color=marr(lambda m: m.color, (3,)),
