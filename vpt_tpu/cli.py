@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--exposure", type=float, default=0.0)
     ap.add_argument("--filmic", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--checkpoint", default=None,
+                    help="render-state .npz: resume if present, saved "
+                         "periodically and at completion")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="samples between checkpoint saves (default: chunk)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -73,7 +78,8 @@ def main(argv=None):
         f"{args.samples}spp {args.shader}\n")
     rt0 = time.time()
     img, _ = renderer.render(
-        progress=lambda c, t: _progress_bar("render", c, t, rt0))
+        progress=lambda c, t: _progress_bar("render", c, t, rt0),
+        checkpoint=args.checkpoint, checkpoint_every=args.checkpoint_every)
     rays = renderer.width * renderer.height * args.samples
     dt = time.time() - rt0
     sys.stderr.write(f"render: {dt:.2f}s  ({rays / dt / 1e6:.2f} Mpaths/s)\n")

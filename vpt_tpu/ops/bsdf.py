@@ -458,123 +458,163 @@ def sample_passthrough_pdf(color, normal, outgoing, incoming):
 # roughness != 0; delta lobes when roughness == 0.
 # ---------------------------------------------------------------------------
 
+ALL_TYPES = frozenset(range(8))
+
+
 def _onehot(m, t):
     return (m.mtype == t)[..., None]
 
 
-def eval_bsdfcos(m: MaterialPoint, normal, outgoing, incoming):
+def eval_bsdfcos(m: MaterialPoint, normal, outgoing, incoming,
+                 types=ALL_TYPES):
+    """`types`: static set of material-type codes present in the scene;
+    lobes of absent types are skipped at trace time (big VPU savings)."""
     rough = (m.roughness != 0.0)[..., None]
     val = jnp.zeros_like(m.color)
-    val = jnp.where(_onehot(m, MATTE), eval_matte(m.color, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, GLOSSY),
-        eval_glossy(m.color, m.ior, m.roughness, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, REFLECTIVE),
-        eval_reflective(m.color, m.roughness, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, TRANSPARENT),
-        eval_transparent(m.color, m.ior, m.roughness, normal, outgoing, incoming), val)
-    refr = eval_refractive(m.color, m.ior, m.roughness, normal, outgoing, incoming)
-    val = jnp.where(_onehot(m, REFRACTIVE) | _onehot(m, SUBSURFACE), refr, val)
-    val = jnp.where(
-        _onehot(m, GLTFPBR),
-        eval_gltfpbr(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, incoming),
-        val)
+    if MATTE in types:
+        val = jnp.where(_onehot(m, MATTE), eval_matte(m.color, normal, outgoing, incoming), val)
+    if GLOSSY in types:
+        val = jnp.where(
+            _onehot(m, GLOSSY),
+            eval_glossy(m.color, m.ior, m.roughness, normal, outgoing, incoming), val)
+    if REFLECTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFLECTIVE),
+            eval_reflective(m.color, m.roughness, normal, outgoing, incoming), val)
+    if TRANSPARENT in types:
+        val = jnp.where(
+            _onehot(m, TRANSPARENT),
+            eval_transparent(m.color, m.ior, m.roughness, normal, outgoing, incoming), val)
+    if REFRACTIVE in types or SUBSURFACE in types:
+        refr = eval_refractive(m.color, m.ior, m.roughness, normal, outgoing, incoming)
+        val = jnp.where(_onehot(m, REFRACTIVE) | _onehot(m, SUBSURFACE), refr, val)
+    if GLTFPBR in types:
+        val = jnp.where(
+            _onehot(m, GLTFPBR),
+            eval_gltfpbr(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, incoming),
+            val)
     return jnp.where(rough, val, 0.0)
 
 
-def sample_bsdfcos(m: MaterialPoint, normal, outgoing, rnl, rn):
+def sample_bsdfcos(m: MaterialPoint, normal, outgoing, rnl, rn,
+                   types=ALL_TYPES):
     rough = (m.roughness != 0.0)[..., None]
     val = jnp.zeros_like(m.color)
-    val = jnp.where(_onehot(m, MATTE), sample_matte(m.color, normal, outgoing, rn), val)
-    val = jnp.where(
-        _onehot(m, GLOSSY),
-        sample_glossy(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn), val)
-    val = jnp.where(
-        _onehot(m, REFLECTIVE),
-        sample_reflective(m.color, m.roughness, normal, outgoing, rn), val)
-    val = jnp.where(
-        _onehot(m, TRANSPARENT),
-        sample_transparent(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn), val)
-    refr = sample_refractive(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn)
-    val = jnp.where(_onehot(m, REFRACTIVE) | _onehot(m, SUBSURFACE), refr, val)
-    val = jnp.where(
-        _onehot(m, GLTFPBR),
-        sample_gltfpbr(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, rnl, rn),
-        val)
+    if MATTE in types:
+        val = jnp.where(_onehot(m, MATTE), sample_matte(m.color, normal, outgoing, rn), val)
+    if GLOSSY in types:
+        val = jnp.where(
+            _onehot(m, GLOSSY),
+            sample_glossy(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn), val)
+    if REFLECTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFLECTIVE),
+            sample_reflective(m.color, m.roughness, normal, outgoing, rn), val)
+    if TRANSPARENT in types:
+        val = jnp.where(
+            _onehot(m, TRANSPARENT),
+            sample_transparent(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn), val)
+    if REFRACTIVE in types or SUBSURFACE in types:
+        refr = sample_refractive(m.color, m.ior, m.roughness, normal, outgoing, rnl, rn)
+        val = jnp.where(_onehot(m, REFRACTIVE) | _onehot(m, SUBSURFACE), refr, val)
+    if GLTFPBR in types:
+        val = jnp.where(
+            _onehot(m, GLTFPBR),
+            sample_gltfpbr(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, rnl, rn),
+            val)
     return jnp.where(rough, val, 0.0)
 
 
-def sample_bsdfcos_pdf(m: MaterialPoint, normal, outgoing, incoming):
+def sample_bsdfcos_pdf(m: MaterialPoint, normal, outgoing, incoming,
+                       types=ALL_TYPES):
     rough = m.roughness != 0.0
     t = m.mtype
     pdf = jnp.zeros_like(m.roughness)
-    pdf = jnp.where(t == MATTE, sample_matte_pdf(m.color, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == GLOSSY,
-        sample_glossy_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == REFLECTIVE,
-        sample_reflective_pdf(m.color, m.roughness, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == TRANSPARENT,
-        sample_transparent_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming), pdf)
-    refr = sample_refractive_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming)
-    pdf = jnp.where((t == REFRACTIVE) | (t == SUBSURFACE), refr, pdf)
-    pdf = jnp.where(
-        t == GLTFPBR,
-        sample_gltfpbr_pdf(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, incoming),
-        pdf)
+    if MATTE in types:
+        pdf = jnp.where(t == MATTE, sample_matte_pdf(m.color, normal, outgoing, incoming), pdf)
+    if GLOSSY in types:
+        pdf = jnp.where(
+            t == GLOSSY,
+            sample_glossy_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming), pdf)
+    if REFLECTIVE in types:
+        pdf = jnp.where(
+            t == REFLECTIVE,
+            sample_reflective_pdf(m.color, m.roughness, normal, outgoing, incoming), pdf)
+    if TRANSPARENT in types:
+        pdf = jnp.where(
+            t == TRANSPARENT,
+            sample_transparent_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming), pdf)
+    if REFRACTIVE in types or SUBSURFACE in types:
+        refr = sample_refractive_pdf(m.color, m.ior, m.roughness, normal, outgoing, incoming)
+        pdf = jnp.where((t == REFRACTIVE) | (t == SUBSURFACE), refr, pdf)
+    if GLTFPBR in types:
+        pdf = jnp.where(
+            t == GLTFPBR,
+            sample_gltfpbr_pdf(m.color, m.ior, m.roughness, m.metallic, normal, outgoing, incoming),
+            pdf)
     return jnp.where(rough, pdf, 0.0)
 
 
-def eval_delta(m: MaterialPoint, normal, outgoing, incoming):
+def eval_delta(m: MaterialPoint, normal, outgoing, incoming,
+               types=ALL_TYPES):
     delta = (m.roughness == 0.0)[..., None]
-    t = m.mtype
     val = jnp.zeros_like(m.color)
-    val = jnp.where(
-        _onehot(m, REFLECTIVE), eval_reflective_delta(m.color, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, TRANSPARENT),
-        eval_transparent_delta(m.color, m.ior, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, REFRACTIVE),
-        eval_refractive_delta(m.color, m.ior, normal, outgoing, incoming), val)
-    val = jnp.where(
-        _onehot(m, VOLUMETRIC), eval_passthrough(m.color, normal, outgoing, incoming), val)
+    if REFLECTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFLECTIVE), eval_reflective_delta(m.color, normal, outgoing, incoming), val)
+    if TRANSPARENT in types:
+        val = jnp.where(
+            _onehot(m, TRANSPARENT),
+            eval_transparent_delta(m.color, m.ior, normal, outgoing, incoming), val)
+    if REFRACTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFRACTIVE),
+            eval_refractive_delta(m.color, m.ior, normal, outgoing, incoming), val)
+    if VOLUMETRIC in types:
+        val = jnp.where(
+            _onehot(m, VOLUMETRIC), eval_passthrough(m.color, normal, outgoing, incoming), val)
     return jnp.where(delta, val, 0.0)
 
 
-def sample_delta(m: MaterialPoint, normal, outgoing, rnl):
+def sample_delta(m: MaterialPoint, normal, outgoing, rnl,
+                 types=ALL_TYPES):
     delta = (m.roughness == 0.0)[..., None]
     val = jnp.zeros_like(m.color)
-    val = jnp.where(
-        _onehot(m, REFLECTIVE), sample_reflective_delta(m.color, normal, outgoing), val)
-    val = jnp.where(
-        _onehot(m, TRANSPARENT),
-        sample_transparent_delta(m.color, m.ior, normal, outgoing, rnl), val)
-    val = jnp.where(
-        _onehot(m, REFRACTIVE),
-        sample_refractive_delta(m.color, m.ior, normal, outgoing, rnl), val)
-    val = jnp.where(
-        _onehot(m, VOLUMETRIC),
-        jnp.broadcast_to(sample_passthrough(m.color, normal, outgoing), val.shape), val)
+    if REFLECTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFLECTIVE), sample_reflective_delta(m.color, normal, outgoing), val)
+    if TRANSPARENT in types:
+        val = jnp.where(
+            _onehot(m, TRANSPARENT),
+            sample_transparent_delta(m.color, m.ior, normal, outgoing, rnl), val)
+    if REFRACTIVE in types:
+        val = jnp.where(
+            _onehot(m, REFRACTIVE),
+            sample_refractive_delta(m.color, m.ior, normal, outgoing, rnl), val)
+    if VOLUMETRIC in types:
+        val = jnp.where(
+            _onehot(m, VOLUMETRIC),
+            jnp.broadcast_to(sample_passthrough(m.color, normal, outgoing), val.shape), val)
     return jnp.where(delta, val, 0.0)
 
 
-def sample_delta_pdf(m: MaterialPoint, normal, outgoing, incoming):
+def sample_delta_pdf(m: MaterialPoint, normal, outgoing, incoming,
+                     types=ALL_TYPES):
     delta = m.roughness == 0.0
     t = m.mtype
     pdf = jnp.zeros_like(m.roughness)
-    pdf = jnp.where(
-        t == REFLECTIVE, sample_reflective_delta_pdf(m.color, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == TRANSPARENT,
-        sample_transparent_delta_pdf(m.color, m.ior, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == REFRACTIVE,
-        sample_refractive_delta_pdf(m.color, m.ior, normal, outgoing, incoming), pdf)
-    pdf = jnp.where(
-        t == VOLUMETRIC, sample_passthrough_pdf(m.color, normal, outgoing, incoming), pdf)
+    if REFLECTIVE in types:
+        pdf = jnp.where(
+            t == REFLECTIVE, sample_reflective_delta_pdf(m.color, normal, outgoing, incoming), pdf)
+    if TRANSPARENT in types:
+        pdf = jnp.where(
+            t == TRANSPARENT,
+            sample_transparent_delta_pdf(m.color, m.ior, normal, outgoing, incoming), pdf)
+    if REFRACTIVE in types:
+        pdf = jnp.where(
+            t == REFRACTIVE,
+            sample_refractive_delta_pdf(m.color, m.ior, normal, outgoing, incoming), pdf)
+    if VOLUMETRIC in types:
+        pdf = jnp.where(
+            t == VOLUMETRIC, sample_passthrough_pdf(m.color, normal, outgoing, incoming), pdf)
     return jnp.where(delta, pdf, 0.0)

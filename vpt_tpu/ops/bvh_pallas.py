@@ -101,17 +101,11 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
     def cond(c):
         return c[0] > 0
 
-    def body(c):
-        sp, best_t, best_tri, best_u, best_v = c
-        ref = stack_ref[sp - 1]
-        sp = sp - 1
-        is_int = ref >= 0
-
+    def internal(ref, sp, best_t, best_tri, best_u, best_v):
         # --- internal node: 4 slab tests over the whole packet ---------
-        nidx = jnp.where(is_int, ref, 0)
-        nrow = nodes_ref[pl.ds(nidx // NODES_PER_ROW, 1), :]  # (1, 128)
+        nrow = nodes_ref[pl.ds(ref // NODES_PER_ROW, 1), :]  # (1, 128)
         rec_2d = jax.lax.switch(
-            nidx % NODES_PER_ROW,
+            ref % NODES_PER_ROW,
             [lambda r=nrow, j=j: jax.lax.slice(r, (0, j * 32), (1, j * 32 + 32))
              for j in range(NODES_PER_ROW)])
         rec = lambda i: rec_2d[0, i]
@@ -131,10 +125,9 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), best_t)) * 1.00000024
             kid = rec(24 + k).astype(jnp.int32)
-            hit_k = tnear <= tfar
-            any_k = is_int & (kid != -1) & jnp.any(hit_k)
-            # packet-order key: nearest entry over rays that hit the box
-            tn_k = jnp.min(jnp.where(hit_k, tnear, FLT_MAX))
+            # packet-order key doubles as the hit-any flag (< FLT_MAX)
+            tn_k = jnp.min(jnp.where(tnear <= tfar, tnear, FLT_MAX))
+            any_k = (kid != -1) & (tn_k < FLT_MAX)
             tn_s.append(jnp.where(any_k, tn_k, NEG_INF))
             ref_s.append(jnp.where(any_k, kid, -1))
 
@@ -156,16 +149,17 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
                 stack_ref[sp] = ref_s[k]
 
             sp = sp + do_push.astype(jnp.int32)
+        return sp, best_t, best_tri, best_u, best_v
 
+    def leaf(ref, sp, best_t, best_tri, best_u, best_v):
         # --- leaf: 4 triangle tests over the whole packet ---------------
-        lidx = jnp.where(is_int, 0, -ref - 2)
+        lidx = -ref - 2
         lrow = leaves_ref[pl.ds(lidx // LEAVES_PER_ROW, 1), :]  # (1, 128)
         lrec_2d = jax.lax.switch(
             lidx % LEAVES_PER_ROW,
             [lambda r=lrow, j=j: jax.lax.slice(r, (0, j * 40), (1, j * 40 + 40))
              for j in range(LEAVES_PER_ROW)])
         lrec = lambda i: lrec_2d[0, i]
-        is_leaf = jnp.logical_not(is_int)
         for k in range(4):
             b = k * 9
             p0x, p0y, p0z = lrec(b), lrec(b + 1), lrec(b + 2)
@@ -189,15 +183,23 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             v = (dx * qvx + dy * qvy + dz * qvz) * inv
             tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
             hit_k = (
-                is_leaf & (tid >= 0) & (det != 0)
+                (tid >= 0) & (det != 0)
                 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
                 & (tt >= tmin) & (tt <= best_t))
             best_t = jnp.where(hit_k, tt, best_t)
             best_tri = jnp.where(hit_k, tid, best_tri)
             best_u = jnp.where(hit_k, u, best_u)
             best_v = jnp.where(hit_k, v, best_v)
-
         return sp, best_t, best_tri, best_u, best_v
+
+    def body(c):
+        sp, best_t, best_tri, best_u, best_v = c
+        ref = stack_ref[sp - 1]
+        sp = sp - 1
+        # real scalar branch: leaves skip the slab tests, internals skip the
+        # triangle tests (~2x less VPU work than fully-masked execution)
+        return jax.lax.cond(ref >= 0, internal, leaf,
+                            ref, sp, best_t, best_tri, best_u, best_v)
 
     sp0 = jnp.where(any_live, 1, 0).astype(jnp.int32)
     _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(

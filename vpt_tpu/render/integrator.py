@@ -65,13 +65,18 @@ def _u2(pixel_id, sample_id, bounce, k, seed):
 
 def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
-                     naive: bool = False, seed: int = 1301081):
+                     naive: bool = False, seed: int = 1301081,
+                     mat_types=B.ALL_TYPES):
     """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
     enable_volume=False, mis=True -> shade_pathtrace    (cpp:690-762)
     naive=True                    -> shade_naive        (cpp:765-832)
+
+    mat_types: static set of material-type codes present in the scene —
+    BSDF dispatch skips absent lobes at trace time.
     """
+    mat_types = frozenset(mat_types)
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         R = ray_o.shape[0]
@@ -86,6 +91,16 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
         )
 
         def bounce_step(st: PathState, bounce):
+            # real branch: once every ray in the shard is dead, the remaining
+            # bounces of the scan cost one scalar reduction each. Matters for
+            # the reference's --bounces 64 configs (run.sh) where RR kills
+            # most paths within ~8 bounces.
+            return jax.lax.cond(
+                jnp.any(st.alive),
+                lambda s: _bounce_live(s, bounce),
+                lambda s: s, st), None
+
+        def _bounce_live(st: PathState, bounce):
             u = lambda k: _u(pixel_id, sample_id, bounce, k, seed)
             u2 = lambda k: _u2(pixel_id, sample_id, bounce, k, seed)
 
@@ -141,29 +156,29 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
             delta = B.is_delta(mat)
             # non-delta: 0.5 bsdf / 0.5 light one-sample MIS
-            inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5))
+            inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5), types=mat_types)
             if mis and not naive:
                 inc_light = sample_lights(ds, lights, position, u(7), u(8), u2(9))
                 use_bsdf = u(3) < 0.5
                 incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
-                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd)
+                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
                 pdf_l = sample_lights_pdf(ds, lights, position, incoming_nd)
                 denom = 0.5 * pdf_b + 0.5 * pdf_l
-                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd)
+                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
                 w_nd = jnp.where(
                     (denom > 0)[..., None],
                     f_val / jnp.where(denom > 0, denom, 1.0)[..., None], 0.0)
             else:
                 incoming_nd = inc_bsdf
-                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd)
-                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd)
+                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
+                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
                 w_nd = jnp.where(
                     (pdf_b > 0)[..., None],
                     f_val / jnp.where(pdf_b > 0, pdf_b, 1.0)[..., None], 0.0)
             # delta lobes
-            inc_delta = B.sample_delta(mat, normal, outgoing, u(4))
-            pdf_d = B.sample_delta_pdf(mat, normal, outgoing, inc_delta)
-            f_d = B.eval_delta(mat, normal, outgoing, inc_delta)
+            inc_delta = B.sample_delta(mat, normal, outgoing, u(4), types=mat_types)
+            pdf_d = B.sample_delta_pdf(mat, normal, outgoing, inc_delta, types=mat_types)
+            f_d = B.eval_delta(mat, normal, outgoing, inc_delta, types=mat_types)
             w_d = jnp.where(
                 (pdf_d > 0)[..., None],
                 f_d / jnp.where(pdf_d > 0, pdf_d, 1.0)[..., None], 0.0)
@@ -242,7 +257,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 alive=alive, hit0=hit0, vol_depth=vol_depth,
                 vol_density=vol_density, vol_scattering=vol_scattering,
                 vol_scaniso=vol_scaniso, vol_emission=vol_emission,
-            ), None
+            )
 
         # scan over bounces (a while-loop here blows up XLA compile time
         # ~20x through the remote-compile tunnel); dead rays cost ~nothing in

@@ -9,6 +9,7 @@ the natural checkpoint/resume granularity — SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -81,10 +82,14 @@ class Renderer:
         p = self.params
         s = p.shader
         if s in ("volpathtrace", "pathtrace", "naive"):
+            import numpy as _np
+
+            mat_types = frozenset(
+                int(t) for t in _np.unique(self.arrays.mat_type))
             return make_path_shader(
                 self.lights, self.n_envs, bounces=p.bounces,
                 enable_volume=(s == "volpathtrace"), mis=(s != "naive"),
-                naive=(s == "naive"), seed=p.seed)
+                naive=(s == "naive"), seed=p.seed, mat_types=mat_types)
         if s == "eyelight":
             return make_eyelight_shader(
                 self.lights, self.n_envs, bounces=p.bounces, seed=p.seed)
@@ -121,17 +126,30 @@ class Renderer:
         return jax.jit(step, donate_argnums=(1,))
 
     def render(self, samples: int | None = None, progress=None,
-               state: RS.RenderState | None = None, chunk: int = 8):
-        """Progressively render; returns (linear rgba image (H, W, 4), state)."""
+               state: RS.RenderState | None = None, chunk: int = 8,
+               checkpoint: str | None = None, checkpoint_every: int = 0):
+        """Progressively render; returns (linear rgba image (H, W, 4), state).
+
+        checkpoint: path to a .npz render checkpoint. If it exists, resume
+        from it; periodically (every `checkpoint_every` samples, default:
+        every chunk) and at completion the state is re-saved. Counter-based
+        RNG makes the resumed render bit-identical to an uninterrupted one.
+        """
+        from .render import checkpoint as CK
+
         p = self.params
         n = samples if samples is not None else p.samples
         chunk = max(1, min(chunk, n))
         if self._step is None or self._chunk != chunk:
             self._step = self._build_step(chunk)
             self._chunk = chunk
+        if state is None and checkpoint is not None and os.path.exists(checkpoint):
+            state = CK.load_checkpoint(checkpoint, p, self.width, self.height)
         if state is None:
             state = RS.make_state(self.width, self.height)
-        done = 0
+        done = int(state.samples)
+        n = max(n, done)
+        last_ck = done
         while done < n:
             if n - done < chunk:
                 # tail with a chunk=1 program to hit the exact sample count
@@ -144,6 +162,12 @@ class Renderer:
                 done += chunk
             if progress is not None:
                 progress(done, n)
+            if (checkpoint is not None and done < n
+                    and done - last_ck >= max(checkpoint_every, chunk)):
+                CK.save_checkpoint(checkpoint, state, p, self.width, self.height)
+                last_ck = done
+        if checkpoint is not None:
+            CK.save_checkpoint(checkpoint, state, p, self.width, self.height)
         img = np.asarray(RS.get_render(state))
         return img.reshape(self.height, self.width, 4), state
 
