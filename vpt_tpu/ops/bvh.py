@@ -49,9 +49,23 @@ class BvhArrays(NamedTuple):
 
 def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
     """tri_pos: (T, 3, 3) world-space triangles. Returns (BvhArrays numpy,
-    perm); apply perm to all per-triangle arrays."""
+    perm); apply perm to all per-triangle arrays.
+
+    Uses the native C++ builder (vpt_tpu/native) when available — emits
+    bit-identical records (tests/test_native.py) ~100x faster; this Python
+    implementation is the reference/fallback."""
     T = tri_pos.shape[0]
     LS = leaf_size
+    if T > 0 and LS == LEAF_SIZE:
+        from .. import native
+
+        built = native.bvh_build4(np.asarray(tri_pos, np.float32))
+        if built is not None:
+            node_rec, leaf_rec, root, perm = built
+            return (
+                BvhArrays(node_rec=node_rec, leaf_rec=leaf_rec, root=root),
+                perm,
+            )
     if T == 0:
         leaf = np.zeros((1, LS * 10), np.float32)
         leaf[:, LS * 9:] = np.full(LS, -1, np.int32).view(np.float32)

@@ -76,6 +76,11 @@ def decode_png(data: bytes):
     raw = np.frombuffer(raw, np.uint8).reshape(height, row_bytes + 1)
     filters = raw[:, 0]
     scan = raw[:, 1:].copy()
+    from .. import native
+
+    if native.png_unfilter(scan, filters, bpp):
+        return _png_assemble(scan, width, height, bitdepth, channels,
+                             colortype, palette, trns)
     prev = np.zeros(row_bytes, np.uint8)
     for y in range(height):
         f = filters[y]
@@ -100,6 +105,12 @@ def decode_png(data: bytes):
                     _paeth(np.uint8(left), prev[x], np.uint8(ul))
                 )) & 0xFF
         prev = scan[y]
+    return _png_assemble(scan, width, height, bitdepth, channels, colortype,
+                         palette, trns)
+
+
+def _png_assemble(scan, width, height, bitdepth, channels, colortype,
+                  palette, trns):
     if bitdepth == 16:
         img = scan.view(">u2").astype(np.uint16).reshape(height, width, channels)
     elif bitdepth == 8:

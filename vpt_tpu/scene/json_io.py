@@ -244,10 +244,23 @@ def load_json_scene(path: str) -> HostScene:
         sd.normals = fv["normals"]
         sd.texcoords = fv["texcoords"]
 
+    # textures referenced from material normal_tex slots need a flat-normal
+    # stand-in when the file is missing (several reference tests reference
+    # textures that are not checked in, e.g. 04_head1 texture1/2.png)
+    normal_slots = {m.normal_tex for m in scene.materials}
     for i, uri in enumerate(texture_uris):
         p = os.path.join(dirname, uri)
-        pixels, linear = image_io.load_image(p)
         t = scene.textures[i]
+        try:
+            pixels, linear = image_io.load_image(p)
+        except FileNotFoundError:
+            if i in normal_slots:
+                pixels = np.tile(
+                    np.array([0.5, 0.5, 1.0, 1.0], np.float32), (8, 8, 1))
+            else:
+                pixels = np.full((8, 8, 4), 0.5, np.float32)
+                pixels[..., 3] = 1.0
+            linear = False
         t.width, t.height = pixels.shape[1], pixels.shape[0]
         t.pixels, t.linear = pixels, linear
 
