@@ -193,6 +193,10 @@ def save_render(path: str, img_linear: np.ndarray):
 
     if path.lower().endswith((".hdr", ".pic")):
         image_io.save_hdr(path, img_linear[..., :3].astype(np.float32))
+    elif path.lower().endswith(".exr"):
+        from .scene import exr
+
+        exr.save_exr(path, img_linear.astype(np.float32))
     elif path.lower().endswith(".png") or path.lower().endswith((".jpg", ".jpeg")):
         srgb = image_io.linear_to_srgb(img_linear[..., :3])
         rgba = np.concatenate(

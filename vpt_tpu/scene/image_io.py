@@ -270,6 +270,10 @@ def load_image(path: str):
         img = load_hdr(path)
         img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
         return img.astype(np.float32), True
+    if lower.endswith(".exr"):
+        from . import exr
+
+        return exr.load_exr(path).astype(np.float32), True
     raise ValueError(f"unsupported image format: {path}")
 
 
