@@ -83,7 +83,7 @@ def main(argv=None):
     rays = renderer.width * renderer.height * args.samples
     dt = time.time() - rt0
     sys.stderr.write(f"render: {dt:.2f}s  ({rays / dt / 1e6:.2f} Mpaths/s)\n")
-    save_render(args.output, img)
+    save_render(args.output, img, exposure=args.exposure, filmic=args.filmic)
     sys.stderr.write(f"saved {args.output}  total {time.time() - t0:.2f}s\n")
 
 

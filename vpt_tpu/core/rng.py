@@ -11,8 +11,7 @@ bit-deterministic.
 We use a small, fast Philox-like 32-bit mixer rather than jax.random's
 threefry, because the integrators need many cheap independent draws per
 scan step and we want full control of the addressing. Quality is ample for
-Monte Carlo rendering (passes the usual equidistribution smoke tests in
-tests/test_rng.py).
+Monte Carlo rendering (equidistribution smoke tests in tests/test_core.py).
 """
 
 from __future__ import annotations

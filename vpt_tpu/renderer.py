@@ -186,11 +186,20 @@ class Renderer:
         return iters * chunk * self.width * self.height / dt
 
 
-def save_render(path: str, img_linear: np.ndarray):
+def save_render(path: str, img_linear: np.ndarray, exposure: float = 0.0,
+                filmic: bool = False):
     """save_image semantics (yocto_sceneio.cpp:509-560): srgb encode for LDR
-    formats, linear for HDR."""
+    formats, linear for HDR. LDR output goes through the full yocto tonemap
+    (yocto_color.h:274-318): exposure scale -> optional ACES-approx filmic ->
+    sRGB; HDR formats stay linear (exposure still applies, like the
+    reference's tonemap on float images)."""
+    from .render.state import tonemap as _tonemap
     from .scene import image_io
 
+    if exposure != 0.0 and path.lower().endswith((".hdr", ".pic", ".exr")):
+        img_linear = np.concatenate(
+            [img_linear[..., :3] * (2.0 ** exposure), img_linear[..., 3:]],
+            axis=-1)
     if path.lower().endswith((".hdr", ".pic")):
         image_io.save_hdr(path, img_linear[..., :3].astype(np.float32))
     elif path.lower().endswith(".exr"):
@@ -198,9 +207,10 @@ def save_render(path: str, img_linear: np.ndarray):
 
         exr.save_exr(path, img_linear.astype(np.float32))
     elif path.lower().endswith(".png") or path.lower().endswith((".jpg", ".jpeg")):
-        srgb = image_io.linear_to_srgb(img_linear[..., :3])
+        rgba = np.asarray(_tonemap(
+            jnp.asarray(img_linear), exposure=exposure, filmic=filmic))
         rgba = np.concatenate(
-            [srgb, np.clip(img_linear[..., 3:], 0, 1)], axis=-1)
+            [rgba[..., :3], np.clip(rgba[..., 3:], 0, 1)], axis=-1)
         out = path if path.lower().endswith(".png") else path + ".png"
         image_io.save_png(out, rgba)
     else:
