@@ -107,6 +107,14 @@ def mesh_to_sdf(positions, triangles, dims=(64, 64, 64), padding=0.05,
     return np.array([w, h, d], np.int32), values, res, lo.astype(np.float32)
 
 
+# fixed generic unit directions for inside/outside parity voting
+_SIGN_DIRS = (
+    np.array([0.8501580, 0.3312001, 0.4096041], np.float32),
+    np.array([-0.2771198, 0.9198879, -0.2776201], np.float32),
+    np.array([0.3310022, -0.4372019, 0.8362012], np.float32),
+)
+
+
 def _jax_distance_and_sign(pts, a, b, c):
     """Distance+sign, chunked over BOTH points and triangles (lax.scan over
     triangle blocks) so intermediates stay (P_CHUNK, T_CHUNK)-sized."""
@@ -162,16 +170,24 @@ def _jax_distance_and_sign(pts, a, b, c):
             closest = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a_j[None], closest)
             dist = jnp.linalg.norm(p[:, None, :] - closest, axis=-1).min(axis=1)
 
-            dirx = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), p.shape)
-            _, _, hitm = intersect_triangles_one(
-                p[:, None, :], dirx[:, None, :], a_j[None], b_j[None], c_j[None],
-                0.0, jnp.inf)
-            return (jnp.minimum(best, dist),
-                    hits + jnp.sum(hitm, axis=1).astype(jnp.int32)), None
+            # parity hit-counts along 3 fixed generic (non-axis-aligned)
+            # directions; majority vote at the end. Generic directions make
+            # shared-edge grazes (which double-count and flip parity)
+            # measure-zero even on axis-aligned meshes.
+            new_hits = []
+            for k3, dirv in enumerate(_SIGN_DIRS):
+                dira = jnp.broadcast_to(jnp.asarray(dirv), p.shape)
+                _, _, hitm = intersect_triangles_one(
+                    p[:, None, :], dira[:, None, :], a_j[None], b_j[None],
+                    c_j[None], 0.0, jnp.inf)
+                new_hits.append(hits[k3] + jnp.sum(hitm, axis=1).astype(jnp.int32))
+            return (jnp.minimum(best, dist), tuple(new_hits)), None
 
-        init = (jnp.full(p.shape[0], jnp.inf), jnp.zeros(p.shape[0], jnp.int32))
+        init = (jnp.full(p.shape[0], jnp.inf),
+                tuple(jnp.zeros(p.shape[0], jnp.int32) for _ in range(3)))
         (dist, hits), _ = jax.lax.scan(tri_block, init, (a_p, b_p, c_p))
-        sign = jnp.where(hits % 2 == 1, -1.0, 1.0)
+        inside_votes = sum((h % 2).astype(jnp.int32) for h in hits)
+        sign = jnp.where(inside_votes >= 2, -1.0, 1.0)
         return dist, sign
 
     n = pts.shape[0]
@@ -189,27 +205,26 @@ def _jax_distance_and_sign(pts, a, b, c):
 
 
 def _raycast_sign_numpy(pts, a, b, c):
-    # simple +x parity in numpy (slow; jax path preferred)
-    sign = np.ones(pts.shape[0], np.float32)
-    # Möller-Trumbore vectorized over triangles per point chunk
+    # parity voting along the 3 generic directions (slow; jax path preferred)
+    votes = np.zeros(pts.shape[0], np.int32)
     chunk = max(1, int(2e7 // max(len(a), 1)))
-    d = np.array([1.0, 0.0, 0.0], np.float32)
     e1, e2 = b - a, c - a
-    pvec = np.cross(d, e2)
-    det = np.einsum("tk,tk->t", e1, pvec)
-    ok = np.abs(det) > 1e-12
-    inv = np.where(ok, 1.0 / np.where(ok, det, 1), 0)
-    for s in range(0, pts.shape[0], chunk):
-        p = pts[s:s + chunk]
-        tvec = p[:, None, :] - a[None]
-        u = np.einsum("ntk,tk->nt", tvec, pvec) * inv[None]
-        qvec = np.cross(tvec, e1[None])
-        v = np.einsum("ntk,k->nt", qvec, d) * inv[None]
-        t = np.einsum("ntk,tk->nt", qvec, e2) * inv[None]
-        hit = ok[None] & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
-        parity = hit.sum(axis=1) % 2
-        sign[s:s + chunk] = np.where(parity == 1, -1.0, 1.0)
-    return sign
+    for d in _SIGN_DIRS:
+        # Möller-Trumbore vectorized over triangles per point chunk
+        pvec = np.cross(d, e2)
+        det = np.einsum("tk,tk->t", e1, pvec)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1), 0)
+        for s in range(0, pts.shape[0], chunk):
+            p = pts[s:s + chunk]
+            tvec = p[:, None, :] - a[None]
+            u = np.einsum("ntk,tk->nt", tvec, pvec) * inv[None]
+            qvec = np.cross(tvec, e1[None])
+            v = np.einsum("ntk,k->nt", qvec, d) * inv[None]
+            t = np.einsum("ntk,tk->nt", qvec, e2) * inv[None]
+            hit = ok[None] & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
+            votes[s:s + chunk] += (hit.sum(axis=1) % 2).astype(np.int32)
+    return np.where(votes >= 2, -1.0, 1.0).astype(np.float32)
 
 
 def synthesize_reference_volume(dirname: str, uri: str) -> str:

@@ -8,7 +8,8 @@ import numpy as np
 
 from .procedural import make_uvsphere
 from .schema import (
-    Camera, Environment, HostScene, Instance, Material, Shape, Texture,
+    Camera, Environment, HostScene, Instance, Material, Sdf, Shape, Texture,
+    VolInstance, VolumeGrid,
 )
 
 
@@ -81,4 +82,64 @@ def make_test_scene(sphere_steps=12, with_volume=True) -> HostScene:
         shape=2, material=4))
     s.environments.append(Environment(
         frame=ident, emission=np.array([0.3, 0.3, 0.35], np.float32)))
+    return s
+
+
+def sphere_grid(dims=24, radius=0.3, scalef=1.0):
+    """Voxel SDF grid of a sphere centered in the grid box, sampled on the
+    exact lattice eval_volume_grid reads (voxel i at i/(n-1) of the box)."""
+    n = dims
+    res = 1.0 / n  # grid box spans [0, res*n*scalef] per axis
+    box = res * n * scalef
+    xs = np.arange(n, dtype=np.float32) / (n - 1) * box
+    Z, Y, X = np.meshgrid(xs, xs, xs, indexing="ij")
+    ctr = box / 2
+    d = np.sqrt((X - ctr) ** 2 + (Y - ctr) ** 2 + (Z - ctr) ** 2) - radius
+    # stored values are pre-scalef (eval multiplies by scalef)
+    return VolumeGrid(
+        whd=np.array([n, n, n], np.int32),
+        values=(d / scalef).astype(np.float32), res=res), box
+
+
+def make_sdf_test_scene(grid=True, analytic=True, light=True) -> HostScene:
+    """Minimal implicit-shader scene: a grid-SDF sphere at the origin, an
+    analytic SDF sphere beside it, an emissive SDF box light above, and a dim
+    environment. Mirrors the structure of tests/07_sdfunction."""
+    s = HostScene()
+    s.cameras.append(Camera(
+        frame=_frame([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0.1, 1.6]),
+        lens=0.05, aspect=2.0, film=0.036, focus=1.6, aperture=0.0))
+    s.materials.append(Material(  # 0: matte gray (grid sphere)
+        type=0, color=np.array([0.7, 0.6, 0.5], np.float32)))
+    s.materials.append(Material(  # 1: matte red (analytic sphere)
+        type=0, color=np.array([0.7, 0.2, 0.2], np.float32)))
+    s.materials.append(Material(  # 2: sdf light
+        type=0, emission=np.array([10.0, 10.0, 10.0], np.float32),
+        color=np.array([1.0, 1.0, 1.0], np.float32)))
+    ident = _frame([1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0])
+    if grid:
+        vol, box = sphere_grid(dims=24, radius=0.3)
+        s.volumes.append(vol)
+        # frames act world->local: translate world origin to grid-box center
+        s.vol_instances.append(VolInstance(
+            volume=0, material=0, scalef=1.0,
+            frame=_frame([1, 0, 0, 0, 1, 0, 0, 0, 1, box / 2, box / 2, box / 2])))
+    if analytic:
+        # sphere radius 0.22 at world (0.6, 0, 0)
+        s.sdfs.append(Sdf(
+            type=4, params=np.array([0.22, 0, 0, 0], np.float32),
+            whd=np.zeros(3, np.float32),
+            frame=_frame([1, 0, 0, 0, 1, 0, 0, 0, 1, -0.6, 0, 0]),
+            material=1))
+    if light:
+        # emissive box spanning world [-0.2,0.2]x[0.55,0.95]x[0.2,0.25];
+        # rect light plane at local z = whd.z (lights.py KIND_SDF)
+        whd = np.array([0.4, 0.4, 0.05], np.float32)
+        s.sdfs.append(Sdf(
+            type=1, params=np.array([0.4, 0.4, 0.05, 0], np.float32),
+            whd=whd,
+            frame=_frame([1, 0, 0, 0, 1, 0, 0, 0, 1, 0.2, -0.55, -0.2]),
+            material=2))
+    s.environments.append(Environment(
+        frame=ident, emission=np.array([0.15, 0.15, 0.18], np.float32)))
     return s
