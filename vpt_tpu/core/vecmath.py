@@ -28,7 +28,13 @@ def cross(a, b):
 
 
 def length(a):
-    return jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1), 0.0))
+    # AD-safe at zero: d/dx sqrt(x) at x=0 is inf, and a NaN/inf cotangent
+    # leaks through jnp.where even on the untaken branch (e.g. sd_box's
+    # outside term for interior points). Double-where keeps value exact and
+    # gradient 0 at the origin.
+    s = jnp.sum(a * a, axis=-1)
+    pos = s > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
 
 
 def length_squared(a):

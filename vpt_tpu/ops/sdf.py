@@ -83,7 +83,8 @@ def sd_capped_cone(p, h, r1, r2):
     cby = qy - k1[..., 1] + k2y * tq
     s = jnp.where((cbx < 0.0) & (cay < 0.0), -1.0, 1.0)
     d2 = jnp.minimum(cax * cax + cay * cay, cbx * cbx + cby * cby)
-    return s * jnp.sqrt(jnp.maximum(d2, 0.0))
+    pos = d2 > 0  # AD-safe sqrt at 0 (same double-where as vecmath.length)
+    return s * jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
 
 
 def op_union(d1, d2):
@@ -225,6 +226,11 @@ def spheretrace(ds, ray_o, ray_d, maxiter: int, tmax=None, alive=None,
         d, k, ix = eval_sdf_scene(ds, p, t)
         return d, k, ix
 
+    # escaped rays double t per step (d ~ t in the far field), which
+    # overflows float32 within maxiter and poisons AD residuals with
+    # inf/NaN positions; cap the march and deactivate escapees early
+    t_escape = jnp.float32(1e7)
+
     def body(state):
         i, t, active, hit, kind, idx = state
         p = ray_o + ray_d * t[..., None]
@@ -234,8 +240,8 @@ def spheretrace(ds, ray_o, ray_d, maxiter: int, tmax=None, alive=None,
         if k is not None:
             kind = jnp.where(is_hit, k, kind)
             idx = jnp.where(is_hit, ix, idx)
-        t_new = jnp.where(active & ~is_hit, t + d, t)
-        active = active & ~is_hit & (t_new < tmax)
+        t_new = jnp.where(active & ~is_hit, jnp.minimum(t + d, t_escape), t)
+        active = active & ~is_hit & (t_new < tmax) & (t_new < t_escape)
         return i + 1, t_new, active, hit, kind, idx
 
     def cond(state):
