@@ -32,6 +32,24 @@ def test_checkpoint_resume_bit_identical(tmp_path, renderer):
     np.testing.assert_allclose(img_full, img_res, rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_render_bit_identical_to_single_device():
+    """Pixels sharded over the 8-device CPU mesh must reproduce the
+    single-device image exactly (counter-based per-pixel RNG; the pixel
+    count 540 is deliberately not divisible by 8 to exercise padding)."""
+    import jax
+
+    n = len(jax.devices())
+    assert n >= 2  # conftest forces an 8-device CPU mesh
+    params = RenderParams(shader="volpathtrace", samples=2, resolution=36,
+                          bounces=3)
+    scene = make_test_scene(sphere_steps=6)
+    img1, _ = Renderer(scene, params, devices=1).render(samples=2, chunk=2)
+    rN = Renderer(scene, params, devices=n)
+    assert rN.n_devices == n
+    imgN, _ = rN.render(samples=2, chunk=2)
+    np.testing.assert_array_equal(img1, imgN)
+
+
 def test_checkpoint_config_mismatch_raises(tmp_path, renderer):
     from vpt_tpu.render import checkpoint as CK
 

@@ -1,0 +1,70 @@
+"""Scaling-efficiency harness (BASELINE.md: >=80% efficiency 1 -> N devices).
+
+Renders the procedural 03_volume-class test scene with pixels sharded over
+1, 2, 4, ..., N local devices and reports paths/sec plus efficiency relative
+to the single-device rate. On real multi-chip hardware this measures ICI
+scaling; with XLA_FLAGS=--xla_force_host_platform_device_count=8 it
+validates the sharded program end-to-end (virtual CPU devices share cores,
+so the efficiency column is about program overhead, not hardware scaling).
+
+Usage:
+  python tools/scaling_bench.py [--resolution 360] [--samples 8] [--cpu8]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resolution", type=int, default=360)
+    ap.add_argument("--samples", type=int, default=8)
+    ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--cpu8", action="store_true",
+                    help="force an 8-device virtual CPU mesh")
+    args = ap.parse_args()
+
+    if args.cpu8:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    if args.cpu8:
+        jax.config.update("jax_platforms", "cpu")
+
+    from vpt_tpu.renderer import RenderParams, Renderer
+    from vpt_tpu.scene.testing import make_test_scene
+
+    n_total = len(jax.devices())
+    params = RenderParams(shader="volpathtrace", samples=args.samples,
+                          resolution=args.resolution, bounces=args.bounces)
+    sizes = []
+    n = 1
+    while n <= n_total:
+        sizes.append(n)
+        n *= 2
+    if sizes[-1] != n_total:
+        sizes.append(n_total)
+
+    rows = []
+    base = None
+    for nd in sizes:
+        r = Renderer(make_test_scene(), params, devices=nd)
+        rps = r.rays_per_sec(samples=args.samples, chunk=4)
+        if base is None:
+            base = rps
+        eff = rps / (base * nd)
+        rows.append({"devices": nd, "paths_per_sec": round(rps, 1),
+                     "speedup": round(rps / base, 3),
+                     "efficiency": round(eff, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"platform": jax.devices()[0].platform,
+                      "n_devices": n_total, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,8 @@ def main(argv=None):
     ap.add_argument("--exposure", type=float, default=0.0)
     ap.add_argument("--filmic", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="local devices to shard pixels over (0 = all)")
     ap.add_argument("--checkpoint", default=None,
                     help="render-state .npz: resume if present, saved "
                          "periodically and at completion")
@@ -72,10 +74,12 @@ def main(argv=None):
         sys.stderr.write(f"{label}... ({now - stage['t']:.2f}s)\n")
         stage["t"] = now
 
-    renderer = Renderer(args.scene, params, progress=progress)
+    renderer = Renderer(args.scene, params, progress=progress,
+                        devices=(args.devices or None))
     sys.stderr.write(
         f"rendering {renderer.width}x{renderer.height} "
-        f"{args.samples}spp {args.shader}\n")
+        f"{args.samples}spp {args.shader} "
+        f"on {renderer.n_devices} device(s)\n")
     rt0 = time.time()
     img, _ = renderer.render(
         progress=lambda c, t: _progress_bar("render", c, t, rt0),

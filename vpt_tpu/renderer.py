@@ -53,11 +53,16 @@ class RenderParams:
 
 class Renderer:
     def __init__(self, scene, params: RenderParams | None = None,
-                 progress=None):
+                 progress=None, devices: int | None = None):
+        """devices: number of local devices to shard pixels over (default all
+        of jax.devices()); 1 disables sharding. Counter-based per-pixel RNG
+        makes the sharded render bit-identical to the single-device one."""
         from .runtime import enable_compile_cache
 
         enable_compile_cache()
         self.params = params or RenderParams()
+        self.n_devices = (len(jax.devices()) if devices is None
+                          else max(1, min(devices, len(jax.devices()))))
         p = progress or (lambda *_: None)
         if isinstance(scene, str):
             p("load scene")
@@ -106,15 +111,48 @@ class Renderer:
     def _build_step(self, chunk: int = 1):
         """Jitted program advancing `chunk` samples (lax.scan) per dispatch —
         amortizes host->device dispatch latency, which dominates through the
-        TPU tunnel."""
+        TPU tunnel. With n_devices > 1 the pixel axis is sharded over a 1-D
+        device mesh via shard_map (scene replicated, no collectives in the
+        forward render — the image is assembled on host fetch)."""
         p = self.params
         shade = self._make_shader()
 
-        def one(ds, state):
-            shade_bound = lambda o, d, pix, samp: shade(ds, o, d, pix, samp)
-            return RS.render_sample(
-                shade_bound, ds, state, p.camera, self.width, self.height,
-                p.samples, p.seed)
+        if self.n_devices > 1:
+            from jax.sharding import PartitionSpec as PS
+
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(self.n_devices)
+            axis = mesh.axis_names[0]
+            P = self.width * self.height
+            Ppad = P + (-P) % self.n_devices
+
+            def local_render(ds, pixel_ids, sample_id):
+                o, d = RS.camera_rays(
+                    ds, p.camera, self.width, self.height, pixel_ids,
+                    sample_id, p.samples, p.seed)
+                radiance, alpha = shade(ds, o, d, pixel_ids, sample_id)
+                return jnp.concatenate([radiance, alpha[..., None]], axis=-1)
+
+            sharded = jax.shard_map(
+                local_render, mesh=mesh,
+                in_specs=(PS(), PS(axis), PS()), out_specs=PS(axis),
+                check_vma=False)
+
+            def one(ds, state):
+                # pad ids to the mesh size; padded lanes redo the last pixel
+                # and are sliced off, keeping bit-identity with 1 device
+                ids = jnp.minimum(
+                    jnp.arange(Ppad, dtype=jnp.uint32), jnp.uint32(P - 1))
+                rgba = sharded(ds, ids, state.samples)[:P]
+                return RS.RenderState(
+                    accum=state.accum + rgba, samples=state.samples + 1)
+        else:
+            def one(ds, state):
+                shade_bound = lambda o, d, pix, samp: shade(ds, o, d, pix, samp)
+                return RS.render_sample(
+                    shade_bound, ds, state, p.camera, self.width, self.height,
+                    p.samples, p.seed)
 
         def step(ds, state):
             if chunk == 1:
