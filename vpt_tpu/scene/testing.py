@@ -49,9 +49,11 @@ def make_test_scene(sphere_steps=12, with_volume=True) -> HostScene:
     s.materials.append(Material(  # 1: glass
         type=4, color=np.array([1.0, 0.5, 0.5], np.float32), roughness=0.0,
         trdepth=0.02))
-    s.materials.append(Material(  # 2: volumetric smoke
+    s.materials.append(Material(  # 2: volumetric smoke (anisotropic like
+        # 03_volume's cloud, scanisotropy -0.8 — keeps HG grads exercised)
         type=6, color=np.array([0.5, 0.5, 0.5], np.float32),
-        scattering=np.array([0.2, 0.2, 0.2], np.float32)))
+        scattering=np.array([0.2, 0.2, 0.2], np.float32),
+        scanisotropy=-0.4))
     s.materials.append(Material(  # 3: matte red
         type=0, color=np.array([0.6, 0.2, 0.2], np.float32)))
     s.materials.append(Material(  # 4: arealight
