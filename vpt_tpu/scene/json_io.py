@@ -236,7 +236,10 @@ def load_json_scene(path: str) -> HostScene:
         else:
             from .procedural import make_sphere_fv
 
-            fv = make_sphere_fv(steps=32, scale=0.075)
+            # dense enough that per-vertex displacement resolves the bump
+            # texture's dots (1024^2 tex -> ~4 texels/vertex at 128 steps);
+            # at 32 steps the spikes alias into fat lumps
+            fv = make_sphere_fv(steps=128, scale=0.075)
         sd.quadspos = fv["quadspos"]
         sd.quadsnorm = fv["quadsnorm"]
         sd.quadstexcoord = fv["quadstexcoord"]

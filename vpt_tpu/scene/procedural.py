@@ -47,8 +47,13 @@ def make_sphere_shape(steps=32, scale=0.075, uvscale=1.0):
 
 
 def make_sphere_fv(steps=32, scale=0.075):
-    """Face-varying control cage version (for missing subdiv assets)."""
+    """Face-varying control cage version (for missing subdiv assets).
+
+    Centered at (0, scale, 0) so it sits on the y=0 floor like the checked-in
+    sphere.ply of tests/01_surface (those scenes place spheres with identity
+    instance frames)."""
     s = make_sphere_shape(steps, scale)
+    s["positions"] = s["positions"] + np.array([0, scale, 0], np.float32)
     return {
         "positions": s["positions"],
         "normals": s["normals"],
