@@ -115,3 +115,49 @@ def test_pallas_packet_matches_xla_traversal():
         np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(ref["uv"])[h], np.asarray(new["uv"])[h], rtol=1e-5, atol=1e-6)
+
+
+def test_light_pdf_bvh_matches_exact_sweep_on_mesh_emitter():
+    """A ~1k-triangle emissive sphere light must take the bounded all-hits
+    BVH walk (bvh_slot assigned) and produce the same solid-angle pdf as the
+    exact O(rays x triangles) sweep (yocto_pathtrace.cpp:363-378 parity)."""
+    import dataclasses
+
+    from vpt_tpu.render.lights import build_lights_static, sample_lights_pdf
+    from vpt_tpu.scene.flatten import LIGHT_BVH_THRESHOLD, flatten_scene
+    from vpt_tpu.scene.procedural import make_uvsphere
+    from vpt_tpu.scene.schema import (
+        Camera, HostScene, Instance, Material, Shape,
+    )
+
+    s = HostScene()
+    s.cameras.append(Camera(
+        frame=np.eye(4, 3, k=0, dtype=np.float32).reshape(4, 3),
+        lens=0.05, aspect=1.0, film=0.036, focus=1.0, aperture=0.0))
+    s.materials.append(Material(
+        type=0, emission=np.array([5.0, 5.0, 5.0], np.float32)))
+    sph = make_uvsphere((32, 16), 0.3)
+    s.shapes.append(Shape(**sph))
+    ident = np.asarray(
+        [1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0.5, 0], np.float32).reshape(4, 3)
+    s.instances.append(Instance(frame=ident, shape=0, material=0))
+    sa = flatten_scene(s)
+    assert sa.light_tri_count[0] > LIGHT_BVH_THRESHOLD
+    lights = build_lights_static(sa)
+    assert lights[0].bvh_slot >= 0
+    lights_exact = [dataclasses.replace(lights[0], bvh_slot=-1)]
+    ds = jax.tree.map(jnp.asarray, sa)
+
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pos[:, 1] -= 1.0  # below the sphere
+    to_ctr = np.array([0, 0.5, 0], np.float32) - pos
+    dirs = to_ctr + rng.normal(0, 0.25, (64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    p_bvh = np.asarray(sample_lights_pdf(
+        ds, lights, jnp.asarray(pos), jnp.asarray(dirs)))
+    p_exact = np.asarray(sample_lights_pdf(
+        ds, lights_exact, jnp.asarray(pos), jnp.asarray(dirs)))
+    assert (p_exact > 0).sum() >= 20  # many rays actually cross the emitter
+    np.testing.assert_allclose(p_bvh, p_exact, rtol=2e-5, atol=1e-7)

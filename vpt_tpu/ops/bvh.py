@@ -218,6 +218,118 @@ def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,
     }
 
 
+def light_pdf_bvh(bvh: BvhArrays, ray_o, ray_d, tmin=RAY_EPS):
+    """Solid-angle pdf accumulation over ALL triangles hit along each ray:
+    sum of t^2 / |cos|, the bounded replacement for the reference's <=100
+    re-cast occluder walk in sample_lights_pdf (yocto_pathtrace.cpp:363-378).
+    The BVH covers one light's triangles; every leaf hit contributes (a ray
+    crosses each light triangle at most once), so one all-hits traversal
+    finds the identical hit set. Divide by the light's total area outside.
+
+    ray_d must be normalized. Returns (R,) sums (no gradient — light
+    geometry is not a differentiable parameter class)."""
+    pdf = _accumulate_pdf_impl(
+        bvh.node_rec, bvh.leaf_rec, bvh.root, ray_o, ray_d, float(tmin))
+    return jax.lax.stop_gradient(pdf)
+
+
+def _accumulate_pdf_impl(node_rec, leaf_rec, root, ray_o, ray_d, tmin):
+    R = ray_o.shape[0]
+    LS = leaf_rec.shape[1] // 10
+    ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
+    dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    sd = lambda x: jnp.where(jnp.abs(x) < 1e-12,
+                             jnp.where(x >= 0, 1e-12, -1e-12), x)
+    ix, iy, iz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+
+    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32)
+    stack = stack.at[:, 0].set(root)
+    sp = jnp.ones((R,), jnp.int32)
+    pos_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+
+    def body(state):
+        stack, sp, pdf = state
+        active = sp > 0
+        spm = jnp.maximum(sp - 1, 0)
+        ref = jnp.take_along_axis(stack, spm[:, None], axis=1)[:, 0]
+        ref = jnp.where(active, ref, -1)
+        sp = jnp.where(active, spm, sp)
+        is_int = ref >= 0
+        is_leaf = ref <= -2
+
+        nrec = node_rec[jnp.where(is_int, ref, 0)]
+        nt = nrec.T
+        crefs = jax.lax.bitcast_convert_type(nrec[:, 24:28], jnp.int32)
+        for k in range(4):
+            b = k * 6
+            t0x = (nt[b + 0] - ox) * ix
+            t1x = (nt[b + 3] - ox) * ix
+            t0y = (nt[b + 1] - oy) * iy
+            t1y = (nt[b + 4] - oy) * iy
+            t0z = (nt[b + 2] - oz) * iz
+            t1z = (nt[b + 5] - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z)) * 1.00000024
+            hit_k = is_int & (crefs[:, k] != -1) & (tnear <= tfar)
+            mask = hit_k[:, None] & (pos_iota == sp[:, None])
+            stack = jnp.where(mask, crefs[:, k][:, None], stack)
+            sp = sp + hit_k.astype(jnp.int32)
+
+        lid = jnp.where(is_leaf, -ref - 2, 0)
+        lrec = leaf_rec[lid]
+        lt = lrec.T
+        ids = jax.lax.bitcast_convert_type(lrec[:, LS * 9:], jnp.int32)
+        for k in range(LS):
+            b = k * 9
+            p0x, p0y, p0z = lt[b], lt[b + 1], lt[b + 2]
+            e1x = lt[b + 3] - p0x
+            e1y = lt[b + 4] - p0y
+            e1z = lt[b + 5] - p0z
+            e2x = lt[b + 6] - p0x
+            e2y = lt[b + 7] - p0y
+            e2z = lt[b + 8] - p0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / jnp.where(det != 0, det, 1.0)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+            hit_k = (
+                is_leaf & (det != 0) & (u >= 0) & (u <= 1) & (v >= 0)
+                & (u + v <= 1) & (tt >= tmin) & (ids[:, k] >= 0))
+            # |cos| between the (normalized) ray and the triangle plane:
+            # det = dot(d, e1 x e2) = dot(d, gn_unnorm); |gn| = 2*tri_area
+            gnx = e1y * e2z - e1z * e2y
+            gny = e1z * e2x - e1x * e2z
+            gnz = e1x * e2y - e1y * e2x
+            gnl = jnp.sqrt(jnp.maximum(
+                gnx * gnx + gny * gny + gnz * gnz, 1e-30))
+            cosw = jnp.abs(det) / gnl
+            contrib = jnp.where(
+                hit_k & (cosw > 1e-12),
+                tt * tt / jnp.maximum(cosw, 1e-12), 0.0)
+            pdf = pdf + contrib
+
+        return stack, sp, pdf
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    init = (stack, sp, jnp.zeros((R,), jnp.float32))
+    _, _, pdf = jax.lax.while_loop(cond, body, init)
+    return pdf
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _traverse(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive, tmin):
     return _traverse_impl(node_rec, leaf_rec, root, ray_o, ray_d, tmax, alive,

@@ -50,6 +50,7 @@ class StaticLight:
     env_w: int = 0    # env texture dims (env lights with a texture)
     env_h: int = 0
     env_tex: int = -1
+    bvh_slot: int = -1  # ds.light_bvhs index for large mesh emitters
 
 
 def build_lights_static(sa) -> list:
@@ -67,6 +68,7 @@ def build_lights_static(sa) -> list:
                     tri_lo=t_cursor, tri_hi=t_cursor + cnt,
                     cdf_lo=int(sa.light_cdf_offset[li]),
                     cdf_hi=int(sa.light_cdf_offset[li] + sa.light_cdf_count[li]),
+                    bvh_slot=int(sa.light_bvh_slot[li]),
                 )
             )
             t_cursor += cnt
@@ -157,7 +159,16 @@ def sample_lights_pdf(ds, lights, position, direction, spheretrace_fn=None):
         return jnp.zeros(position.shape[:-1], position.dtype)
     pdf = jnp.zeros(position.shape[:-1], position.dtype)
     for light in lights:
-        if light.kind == KIND_INSTANCE:
+        if light.kind == KIND_INSTANCE and light.bvh_slot >= 0:
+            # large mesh emitter: bounded all-hits BVH walk instead of the
+            # O(rays x triangles) sweep (ops/bvh.py light_pdf_bvh)
+            from ..ops.bvh import light_pdf_bvh
+
+            area = ds.light_cdf[light.cdf_hi - 1]
+            acc = light_pdf_bvh(
+                ds.light_bvhs[light.bvh_slot], position, direction)
+            pdf = pdf + acc / jnp.maximum(area, 1e-12)
+        elif light.kind == KIND_INSTANCE:
             v = ds.light_tris[light.tri_lo:light.tri_hi]  # (K, 3, 3)
             area = ds.light_cdf[light.cdf_hi - 1]
             t, _, hit = intersect_triangles_one(

@@ -28,6 +28,9 @@ from ..ops.bvh_pallas import PallasBvh, from_bvh_arrays
 from .schema import HostScene
 
 
+LIGHT_BVH_THRESHOLD = 64
+
+
 class SceneArrays(NamedTuple):
     # geometry (permuted into BVH leaf order)
     tri_pos: np.ndarray       # (T, 3, 3) world-space positions
@@ -79,6 +82,11 @@ class SceneArrays(NamedTuple):
     light_tris: np.ndarray        # (LT, 3, 3) light triangle positions (orig order)
     light_tri_vidx: np.ndarray    # (LT, 3)
     light_tri_light: np.ndarray   # (LT,) owning light index
+    # per-light BVHs for mesh emitters above LIGHT_BVH_THRESHOLD triangles:
+    # the bounded all-hits pdf walk (ops/bvh.py light_pdf_bvh) replaces the
+    # O(rays x triangles) sweep for large emissive meshes
+    light_bvh_slot: np.ndarray    # (L,) int32, -1 = use the exact sweep
+    light_bvhs: tuple             # tuple[BvhArrays]
     # volumes / sdfs
     grid_values: np.ndarray   # (G, D, H, W) float32 (padded to max dims)
     grid_whd: np.ndarray      # (G, 3) int32 true dims
@@ -205,6 +213,7 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
     lk, lid, lto, ltc, lco, lcc, ltot = [], [], [], [], [], [], []
     cdf_chunks = []
     lt_pos, lt_vidx, lt_light = [], [], []
+    lbvh_slot, lbvhs = [], []
     cdf_off = 0
     li = 0
     # light triangle tables use the pre-permutation (soup) order
@@ -233,6 +242,12 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         lt_pos.append(v)
         lt_vidx.append(tri_vidx_orig[t0:t0 + tc])
         lt_light.append(np.full(tc, li, np.int64))
+        if tc > LIGHT_BVH_THRESHOLD:
+            lb, _ = build_bvh(np.ascontiguousarray(v, f32))
+            lbvh_slot.append(len(lbvhs))
+            lbvhs.append(lb)
+        else:
+            lbvh_slot.append(-1)
         li += 1
 
     for ei, env in enumerate(scene.environments):
@@ -258,6 +273,7 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
             lco.append(cdf_off)
             lcc.append(0)
             ltot.append(0.0)
+        lbvh_slot.append(-1)
         li += 1
 
     for si, sdf in enumerate(scene.sdfs):
@@ -274,6 +290,7 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         lcc.append(1)
         ltot.append(area)
         cdf_off += 1
+        lbvh_slot.append(-1)
         li += 1
 
     L = len(lk)
@@ -367,6 +384,8 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         light_tris=light_tris.astype(f32),
         light_tri_vidx=light_tri_vidx.astype(i32),
         light_tri_light=light_tri_light.astype(i32),
+        light_bvh_slot=np.asarray(lbvh_slot, i32) if L else np.zeros(0, i32),
+        light_bvhs=tuple(lbvhs),
         grid_values=grid_values,
         grid_whd=grid_whd,
         grid_res=grid_res,
