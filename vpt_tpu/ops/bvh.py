@@ -184,16 +184,59 @@ def set_traversal_backend(name: str | None):
     _BACKEND = name
 
 
+KIND_TRI, KIND_LINE, KIND_POINT = 0, 1, 2
+
+
 def intersect_scene(ds, ray_o, ray_d, tmax=None, tmin=RAY_EPS, alive=None):
-    """Closest-hit against the scene BVH, dispatching to the Pallas packet
-    kernel (ops/bvh_pallas.py) on TPU or the XLA traversal elsewhere."""
+    """Closest-hit against the scene: triangle BVH (Pallas packet kernel on
+    TPU, XLA traversal elsewhere), then line/point primitives brute-force
+    (statically skipped when the scene has none — all reference test
+    scenes). Returns dict(hit, dist, tri, uv[, kind, prim])."""
     if traversal_backend() == "pallas":
         from .bvh_pallas import intersect_bvh_pallas
 
-        return intersect_bvh_pallas(ds.bvh_packed, ray_o, ray_d, tmax=tmax,
-                                    tmin=tmin, alive=alive)
-    return intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d, tmax=tmax,
-                         tmin=tmin, alive=alive)
+        isect = intersect_bvh_pallas(ds.bvh_packed, ray_o, ray_d, tmax=tmax,
+                                     tmin=tmin, alive=alive)
+    else:
+        isect = intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d, tmax=tmax,
+                              tmin=tmin, alive=alive)
+    n_lines = int(ds.line_p.shape[0]) if hasattr(ds, "line_p") else 0
+    n_points = int(ds.point_p.shape[0]) if hasattr(ds, "point_p") else 0
+    if n_lines == 0 and n_points == 0:
+        return isect
+    from .intersect import intersect_lines_brute, intersect_points_brute
+
+    R = ray_o.shape[0]
+    live = jnp.ones((R,), bool) if alive is None else alive
+    cap = jnp.full((R,), FLT_MAX) if tmax is None else tmax
+    cap = jnp.where(live, jnp.minimum(isect["dist"], cap), -FLT_MAX)
+    kind = jnp.zeros((R,), jnp.int32)
+    prim = jnp.full((R,), -1, jnp.int32)
+    out = dict(isect)
+    if n_lines:
+        lh = intersect_lines_brute(
+            ray_o, ray_d, ds.line_p[:, 0], ds.line_p[:, 1],
+            ds.line_r[:, 0], ds.line_r[:, 1], tmin, cap)
+        take = lh["hit"] & (lh["dist"] < cap)
+        cap = jnp.where(take, lh["dist"], cap)
+        kind = jnp.where(take, KIND_LINE, kind)
+        prim = jnp.where(take, lh["prim"], prim)
+        out["uv"] = jnp.where(take[..., None], lh["uv"], out["uv"])
+        out["dist"] = jnp.where(take, lh["dist"], out["dist"])
+        out["hit"] = out["hit"] | take
+    if n_points:
+        ph = intersect_points_brute(
+            ray_o, ray_d, ds.point_p, ds.point_r, tmin, cap)
+        take = ph["hit"] & (ph["dist"] < cap)
+        kind = jnp.where(take, KIND_POINT, kind)
+        prim = jnp.where(take, ph["prim"], prim)
+        out["uv"] = jnp.where(take[..., None], 0.0, out["uv"])
+        out["dist"] = jnp.where(take, ph["dist"], out["dist"])
+        out["hit"] = out["hit"] | take
+    out["kind"] = kind
+    out["prim"] = prim
+    out["tri"] = jnp.where((kind == KIND_TRI) | ~out["hit"], out["tri"], 0)
+    return out
 
 
 def intersect_bvh(bvh: BvhArrays, tri_pos, ray_o, ray_d, tmax=None,

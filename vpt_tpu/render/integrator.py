@@ -138,11 +138,9 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             # ======== surface branch (cpp:599-652) ========
             surf = alive & ~in_scatter
             outgoing = -st.ray_d
-            tri = jnp.maximum(isect["tri"], 0)
-            uv = isect["uv"]
-            position = SE.eval_position(ds, tri, uv)
-            normal = SE.eval_shading_normal(ds, tri, uv, outgoing)
-            mat = SE.eval_material(ds, tri, uv)
+            position = SE.eval_hit_position(ds, isect, st.ray_o, st.ray_d)
+            normal = SE.eval_hit_shading_normal(ds, isect, outgoing)
+            mat = SE.eval_hit_material(ds, isect)
 
             # opacity passthrough (deviation: consumes a bounce)
             passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
@@ -296,11 +294,9 @@ def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
                 (alive & ~hit)[..., None], radiance + weight * env, radiance)
             alive = alive & hit
             outgoing = -d
-            tri = jnp.maximum(isect["tri"], 0)
-            uv = isect["uv"]
-            position = SE.eval_position(ds, tri, uv)
-            normal = SE.eval_shading_normal(ds, tri, uv, outgoing)
-            mat = SE.eval_material(ds, tri, uv)
+            position = SE.eval_hit_position(ds, isect, o, d)
+            normal = SE.eval_hit_shading_normal(ds, isect, outgoing)
+            mat = SE.eval_hit_material(ds, isect)
             hit0 = hit0 | (alive & (bounce == 0))
             radiance = jnp.where(
                 alive[..., None],
@@ -331,16 +327,14 @@ def make_debug_shader(n_envs: int, which: str):
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         isect = intersect_scene(ds, ray_o, ray_d)
         hit = isect["hit"]
-        tri = jnp.maximum(isect["tri"], 0)
-        uv = isect["uv"]
         outgoing = -ray_d
         if which == "normal":
-            val = SE.eval_shading_normal(ds, tri, uv, outgoing)
+            val = SE.eval_hit_shading_normal(ds, isect, outgoing)
         elif which == "texcoord":
-            tc = SE.eval_texcoord(ds, tri, uv)
+            tc = SE.eval_hit_texcoord(ds, isect)
             val = jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
         elif which == "color":
-            val = SE.eval_material(ds, tri, uv).color
+            val = SE.eval_hit_material(ds, isect).color
         else:
             raise ValueError(which)
         val = jnp.where(hit[..., None], val, 0.0)

@@ -132,7 +132,10 @@ def eval_material(ds, tri, uv) -> MaterialPoint:
     mat_id = ds.tri_mat[tri]
     texcoord = eval_texcoord(ds, tri, uv)
     color_shp = eval_color(ds, tri, uv)
+    return _material_from(ds, mat_id, texcoord, color_shp)
 
+
+def _material_from(ds, mat_id, texcoord, color_shp) -> MaterialPoint:
     def tex(tid, as_linear):
         return eval_texture(
             ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
@@ -181,6 +184,100 @@ def eval_material(ds, tri, uv) -> MaterialPoint:
         roughness=roughness, metallic=metallic, ior=ior, density=density,
         scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth,
     )
+
+
+# ---------------------------------------------------------------------------
+# kind-aware hit evaluation (triangles + line/point primitives,
+# yocto_scene.cpp:460-503). When the scene has no lines/points (static
+# check on the flattened arrays) these reduce to the triangle paths.
+# ---------------------------------------------------------------------------
+
+def _has_lp(ds):
+    return int(ds.line_p.shape[0]) > 0 or int(ds.point_p.shape[0]) > 0
+
+
+def _lerp_line(a, b, s):
+    return a * (1.0 - s[..., None]) + b * s[..., None]
+
+
+def _kind_select(ds, isect, tri_val, line_fn, point_fn):
+    kind = isect["kind"]
+    prim = jnp.maximum(isect["prim"], 0)
+    out = tri_val
+    if int(ds.line_p.shape[0]) > 0:
+        out = jnp.where((kind == 1)[..., None], line_fn(prim), out)
+    if int(ds.point_p.shape[0]) > 0:
+        out = jnp.where((kind == 2)[..., None], point_fn(prim), out)
+    return out
+
+
+def eval_hit_position(ds, isect, ray_o, ray_d):
+    tri = jnp.maximum(isect["tri"], 0)
+    pos = eval_position(ds, tri, isect["uv"])
+    if not _has_lp(ds):
+        return pos
+    s = isect["uv"][..., 0]
+    return _kind_select(
+        ds, isect, pos,
+        lambda p: _lerp_line(ds.line_p[p, 0], ds.line_p[p, 1], s),
+        lambda p: ds.point_p[p])
+
+
+def eval_hit_shading_normal(ds, isect, outgoing):
+    tri = jnp.maximum(isect["tri"], 0)
+    n = eval_shading_normal(ds, tri, isect["uv"], outgoing)
+    if not _has_lp(ds):
+        return n
+
+    def line_normal(p):
+        s = isect["uv"][..., 0]
+        nv = _lerp_line(ds.line_n[p, 0], ds.line_n[p, 1], s)
+        has = (jnp.sum(nv * nv, axis=-1) > 1e-12)[..., None]
+        tangent = normalize(ds.line_p[p, 1] - ds.line_p[p, 0])
+        t = jnp.where(has, normalize(nv), tangent)
+        # lines: orthonormalize(outgoing, tangent) (yocto_scene.cpp:491)
+        return orthonormalize(outgoing, t)
+
+    return _kind_select(ds, isect, n, line_normal, lambda p: ds.point_n[p])
+
+
+def eval_hit_texcoord(ds, isect):
+    tri = jnp.maximum(isect["tri"], 0)
+    tc = eval_texcoord(ds, tri, isect["uv"])
+    if not _has_lp(ds):
+        return tc
+    s = isect["uv"][..., 0]
+    return _kind_select(
+        ds, isect, tc,
+        lambda p: _lerp_line(ds.line_tc[p, 0], ds.line_tc[p, 1], s),
+        lambda p: ds.point_tc[p])
+
+
+def eval_hit_material(ds, isect) -> MaterialPoint:
+    tri = jnp.maximum(isect["tri"], 0)
+    if not _has_lp(ds):
+        return eval_material(ds, tri, isect["uv"])
+    s = isect["uv"][..., 0]
+    mat_id = ds.tri_mat[tri]
+    texcoord = eval_texcoord(ds, tri, isect["uv"])
+    color_shp = eval_color(ds, tri, isect["uv"])
+    kind = isect["kind"]
+    prim = jnp.maximum(isect["prim"], 0)
+    if int(ds.line_p.shape[0]) > 0:
+        sel = kind == 1
+        mat_id = jnp.where(sel, ds.line_mat[prim], mat_id)
+        texcoord = jnp.where(
+            sel[..., None], _lerp_line(ds.line_tc[prim, 0], ds.line_tc[prim, 1], s),
+            texcoord)
+        color_shp = jnp.where(
+            sel[..., None], _lerp_line(ds.line_col[prim, 0], ds.line_col[prim, 1], s),
+            color_shp)
+    if int(ds.point_p.shape[0]) > 0:
+        sel = kind == 2
+        mat_id = jnp.where(sel, ds.point_mat[prim], mat_id)
+        texcoord = jnp.where(sel[..., None], ds.point_tc[prim], texcoord)
+        color_shp = jnp.where(sel[..., None], ds.point_col[prim], color_shp)
+    return _material_from(ds, mat_id, texcoord, color_shp)
 
 
 def eval_environment(ds, direction, n_envs: int):

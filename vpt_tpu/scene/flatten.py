@@ -100,6 +100,23 @@ class SceneArrays(NamedTuple):
     sdf_whd: np.ndarray       # (S, 3)
     sdf_frame: np.ndarray     # (S, 4, 3)
     sdf_material: np.ndarray  # (S,)
+    # line / point primitives (yocto_geometry.h:683-747; shading semantics
+    # yocto_scene.cpp:476-503). Kept out of the triangle BVH: scenes with
+    # them are tested brute-force after the BVH pass and merged by min-t;
+    # when absent (all reference test scenes) the arrays are empty and the
+    # extra pass is statically skipped.
+    line_p: np.ndarray        # (Ln, 2, 3) world endpoints
+    line_r: np.ndarray        # (Ln, 2) radii
+    line_n: np.ndarray        # (Ln, 2, 3) world vertex normals (zero = tangent)
+    line_tc: np.ndarray       # (Ln, 2, 2)
+    line_col: np.ndarray      # (Ln, 2, 4)
+    line_mat: np.ndarray      # (Ln,)
+    point_p: np.ndarray       # (Pn, 3)
+    point_r: np.ndarray       # (Pn,)
+    point_n: np.ndarray       # (Pn, 3) world sphere-hack normal (frame z)
+    point_tc: np.ndarray      # (Pn, 2)
+    point_col: np.ndarray     # (Pn, 4)
+    point_mat: np.ndarray     # (Pn,)
     # cameras
     cam_frame: np.ndarray     # (C, 4, 3)
     cam_lens: np.ndarray
@@ -123,19 +140,58 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
     # ---------------- geometry ----------------
     tri_pos_l, tri_vidx_l, tri_mat_l, tri_inst_l = [], [], [], []
     vn_l, vt_l, vc_l = [], [], []
+    ln_p, ln_r, ln_n, ln_tc, ln_col, ln_mat = [], [], [], [], [], []
+    pt_p, pt_r, pt_n, pt_tc, pt_col, pt_mat = [], [], [], [], [], []
     vert_base = 0
     inst_tri_range = {}
     for ii, inst in enumerate(scene.instances):
         shape = scene.shapes[inst.shape]
         if shape.positions is None:
             continue
+        # line/point primitives go into their own brute-force tables
+        if (shape.lines is not None and len(shape.lines)) or (
+                shape.points is not None and len(shape.points)):
+            wpos_lp = np_transform_point(inst.frame, shape.positions).astype(f32)
+            V = wpos_lp.shape[0]
+            rad = (np.asarray(shape.radius, f32) if shape.radius is not None
+                   else np.full(V, 1e-3, f32))
+            tc = (np.asarray(shape.texcoords, f32)
+                  if shape.texcoords is not None else np.zeros((V, 2), f32))
+            col = (np.asarray(shape.colors, f32)
+                   if shape.colors is not None else np.ones((V, 4), f32))
+            if shape.normals is not None:
+                wn_lp = np_transform_vector(inst.frame, shape.normals)
+                wn_lp = wn_lp / np.maximum(
+                    np.linalg.norm(wn_lp, axis=-1, keepdims=True), 1e-30)
+            else:
+                wn_lp = np.zeros((V, 3), f32)  # zero => tangent fallback
+            if shape.lines is not None and len(shape.lines):
+                ls = np.asarray(shape.lines, np.int64)
+                ln_p.append(wpos_lp[ls])
+                ln_r.append(rad[ls])
+                ln_n.append(wn_lp[ls].astype(f32))
+                ln_tc.append(tc[ls])
+                ln_col.append(col[ls])
+                ln_mat.append(np.full(ls.shape[0], inst.material, np.int64))
+            if shape.points is not None and len(shape.points):
+                ps = np.asarray(shape.points, np.int64)
+                pt_p.append(wpos_lp[ps])
+                pt_r.append(rad[ps])
+                # sphere-hack normal at uv=(0,0): instance-frame z axis
+                # (yocto_scene.cpp:493-497)
+                fz = np.asarray(inst.frame, f32)[2]
+                fz = fz / max(np.linalg.norm(fz), 1e-30)
+                pt_n.append(np.tile(fz[None], (ps.shape[0], 1)))
+                pt_tc.append(tc[ps])
+                pt_col.append(col[ps])
+                pt_mat.append(np.full(ps.shape[0], inst.material, np.int64))
         tris = []
         if shape.triangles is not None and len(shape.triangles):
             tris.append(np.asarray(shape.triangles, np.int64))
         if shape.quads is not None and len(shape.quads):
             tris.append(_quads_to_tris_idx(np.asarray(shape.quads, np.int64)))
         if not tris:
-            continue  # lines/points unsupported in the soup (none in tests)
+            continue
         tris = np.concatenate(tris, axis=0)
         wpos = np_transform_point(inst.frame, shape.positions).astype(f32)
         if shape.normals is not None:
@@ -386,6 +442,18 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         light_tri_light=light_tri_light.astype(i32),
         light_bvh_slot=np.asarray(lbvh_slot, i32) if L else np.zeros(0, i32),
         light_bvhs=tuple(lbvhs),
+        line_p=np.concatenate(ln_p) if ln_p else np.zeros((0, 2, 3), f32),
+        line_r=np.concatenate(ln_r) if ln_r else np.zeros((0, 2), f32),
+        line_n=np.concatenate(ln_n) if ln_n else np.zeros((0, 2, 3), f32),
+        line_tc=np.concatenate(ln_tc) if ln_tc else np.zeros((0, 2, 2), f32),
+        line_col=np.concatenate(ln_col) if ln_col else np.ones((0, 2, 4), f32),
+        line_mat=np.concatenate(ln_mat).astype(i32) if ln_mat else np.zeros(0, i32),
+        point_p=np.concatenate(pt_p) if pt_p else np.zeros((0, 3), f32),
+        point_r=np.concatenate(pt_r) if pt_r else np.zeros(0, f32),
+        point_n=np.concatenate(pt_n) if pt_n else np.zeros((0, 3), f32),
+        point_tc=np.concatenate(pt_tc) if pt_tc else np.zeros((0, 2), f32),
+        point_col=np.concatenate(pt_col) if pt_col else np.ones((0, 4), f32),
+        point_mat=np.concatenate(pt_mat).astype(i32) if pt_mat else np.zeros(0, i32),
         grid_values=grid_values,
         grid_whd=grid_whd,
         grid_res=grid_res,

@@ -214,6 +214,8 @@ def load_json_scene(path: str) -> HostScene:
         s.radius = data.get("radius")
         s.triangles = data.get("triangles")
         s.quads = data.get("quads")
+        s.lines = data.get("lines")
+        s.points = data.get("points")
 
     for i, uri in enumerate(volume_uris):
         p = os.path.join(dirname, uri)

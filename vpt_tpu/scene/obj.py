@@ -35,6 +35,7 @@ def load_obj_fv(path: str):
     """
     positions, texcoords, normals = [], [], []
     fpos, ftex, fnorm = [], [], []
+    lines_, points_ = [], []
     has_tex = has_norm = False
     with open(path, "r", errors="replace") as f:
         for line in f:
@@ -70,13 +71,29 @@ def load_obj_fv(path: str):
                     has_tex = True
                 if idx and idx[0][2] >= 0:
                     has_norm = True
+            elif line.startswith("l "):
+                vids = [
+                    _parse_index(t, len(positions), len(texcoords),
+                                 len(normals))[0]
+                    for t in line.split()[1:]
+                ]
+                for i in range(len(vids) - 1):
+                    lines_.append([vids[i], vids[i + 1]])
+            elif line.startswith("p "):
+                for t in line.split()[1:]:
+                    points_.append(_parse_index(
+                        t, len(positions), len(texcoords), len(normals))[0])
     out = {
         "positions": np.asarray(positions, np.float32),
         "texcoords": np.asarray(texcoords, np.float32) if texcoords else None,
         "normals": np.asarray(normals, np.float32) if normals else None,
-        "quadspos": np.asarray(fpos, np.int32),
-        "quadstexcoord": np.asarray(ftex, np.int32) if has_tex else None,
-        "quadsnorm": np.asarray(fnorm, np.int32) if has_norm else None,
+        "quadspos": np.asarray(fpos, np.int32).reshape(-1, 4),
+        "quadstexcoord": (np.asarray(ftex, np.int32).reshape(-1, 4)
+                          if has_tex else None),
+        "quadsnorm": (np.asarray(fnorm, np.int32).reshape(-1, 4)
+                      if has_norm else None),
+        "lines": np.asarray(lines_, np.int32).reshape(-1, 2) if lines_ else None,
+        "points": np.asarray(points_, np.int32) if points_ else None,
     }
     return out
 
@@ -100,15 +117,44 @@ def split_facevarying(quadspos, quadsnorm, quadstexcoord, positions, normals, te
 
 
 def load_obj_shape(path: str):
-    """Load an OBJ as a plain (non-face-varying) shape with quads."""
+    """Load an OBJ as a plain (non-face-varying) shape with quads; OBJ
+    'l'/'p' statements load as line/point primitives (position-indexed,
+    like yocto's obj shape loader)."""
     fv = load_obj_fv(path)
+    if fv["quadspos"].shape[0] == 0 and (
+            fv.get("lines") is not None or fv.get("points") is not None):
+        return {
+            "positions": fv["positions"], "normals": fv["normals"],
+            "texcoords": fv["texcoords"], "quads": None, "triangles": None,
+            "colors": None, "radius": None,
+            "lines": fv.get("lines"), "points": fv.get("points"),
+        }
     quads, pos, norm, tex = split_facevarying(
         fv["quadspos"], fv["quadsnorm"], fv["quadstexcoord"],
         fv["positions"], fv["normals"], fv["texcoords"],
     )
+    # line/point indices reference original positions; remap them onto the
+    # split vertex table (first split vertex of each original position,
+    # recomputing the same unique keys split_facevarying uses)
+    lines, points = fv.get("lines"), fv.get("points")
+    if lines is not None or points is not None:
+        f = fv["quadspos"].reshape(-1)
+        n = (fv["quadsnorm"].reshape(-1) if fv["quadsnorm"] is not None
+             else np.full_like(f, -1))
+        t = (fv["quadstexcoord"].reshape(-1) if fv["quadstexcoord"] is not None
+             else np.full_like(f, -1))
+        uniq = np.unique(np.stack([f, n, t], axis=-1), axis=0)
+        posmap = np.full(fv["positions"].shape[0], -1, np.int64)
+        vals, first = np.unique(uniq[:, 0], return_index=True)
+        posmap[vals] = first
+        if lines is not None:
+            lines = posmap[lines].astype(np.int32)
+        if points is not None:
+            points = posmap[points].astype(np.int32)
     return {
         "positions": pos, "normals": norm, "texcoords": tex,
         "quads": quads, "triangles": None, "colors": None, "radius": None,
+        "lines": lines, "points": points,
     }
 
 

@@ -70,9 +70,11 @@ class Shape:
     normals: np.ndarray = None     # (V,3) | None
     texcoords: np.ndarray = None   # (V,2) | None
     colors: np.ndarray = None      # (V,4) | None
-    radius: np.ndarray = None
+    radius: np.ndarray = None      # (V,) per-vertex radius (lines/points)
     triangles: np.ndarray = None   # (T,3) i32 | None
     quads: np.ndarray = None       # (Q,4) i32 | None
+    lines: np.ndarray = None       # (L,2) i32 | None
+    points: np.ndarray = None      # (P,) i32 | None
     name: str = ""
 
 
