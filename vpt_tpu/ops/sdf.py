@@ -169,6 +169,59 @@ def eval_grid_sdf(values, whd, res, scalef, p_local, t):
     return jnp.where(inside, field, bbox_dist)
 
 
+def eval_grid_sdf_indexed(grid_values, vol_id, whd, res, scalef, p_local, t):
+    """eval_grid_sdf against the packed (G, D, H, W) grid buffer without
+    materializing a per-instance slice: one flat 1-D gather of the 8 cell
+    corners (TPU-friendly; the naive grid_values[vol_id] slice copies the
+    whole grid every sphere-trace iteration)."""
+    G, D, H, W = grid_values.shape  # static padded dims
+    grid_res = whd.astype(jnp.float32)
+    bbox_size = res * grid_res * scalef
+    bbox_dist = sd_box(p_local - bbox_size * 0.5, bbox_size * 0.5)
+    inside = bbox_dist < FLT_EPS * t
+    uvw = p_local * 2.0 / bbox_size - 1.0
+
+    w = whd[0]
+    h = whd[1]
+    d = whd[2]
+    s = jnp.clip((uvw[..., 0] + 1.0) * 0.5, 0.0, 1.0) * (w - 1)
+    tt = jnp.clip((uvw[..., 1] + 1.0) * 0.5, 0.0, 1.0) * (h - 1)
+    r = jnp.clip((uvw[..., 2] + 1.0) * 0.5, 0.0, 1.0) * (d - 1)
+    i = jnp.clip(s.astype(jnp.int32), 0, w - 1)
+    j = jnp.clip(tt.astype(jnp.int32), 0, h - 1)
+    k = jnp.clip(r.astype(jnp.int32), 0, d - 1)
+    ii = jnp.minimum(i + 1, w - 1)
+    jj = jnp.minimum(j + 1, h - 1)
+    kk = jnp.minimum(k + 1, d - 1)
+    u = s - i
+    v = tt - j
+    ww = r - k
+
+    flat = grid_values.reshape(-1)
+    base = vol_id * (D * H * W)
+
+    def lin(kz, jy, ix):
+        return base + (kz * H + jy) * W + ix
+
+    idx = jnp.stack([
+        lin(k, j, i), lin(k, j, ii), lin(k, jj, i), lin(kk, j, i),
+        lin(kk, jj, i), lin(kk, j, ii), lin(k, jj, ii), lin(kk, jj, ii),
+    ], axis=-1)
+    c = jnp.take(flat, idx, axis=0)  # (..., 8) one gather
+    wgt = jnp.stack([
+        (1 - u) * (1 - v) * (1 - ww),
+        u * (1 - v) * (1 - ww),
+        (1 - u) * v * (1 - ww),
+        (1 - u) * (1 - v) * ww,
+        (1 - u) * v * ww,
+        u * (1 - v) * ww,
+        u * v * (1 - ww),
+        u * v * ww,
+    ], axis=-1)
+    field = jnp.sum(c * wgt, axis=-1) * scalef
+    return jnp.where(inside, field, bbox_dist)
+
+
 # ---------------------------------------------------------------------------
 # scene SDF + sphere tracing
 # ---------------------------------------------------------------------------
@@ -182,8 +235,8 @@ def eval_sdf_scene(ds, p, t):
     n_vi = ds.vi_frame.shape[0]
     for i in range(n_vi):
         p_local = transform_point(ds.vi_frame[i], p)
-        d = eval_grid_sdf(
-            ds.grid_values[ds.vi_volume[i]], ds.grid_whd[ds.vi_volume[i]],
+        d = eval_grid_sdf_indexed(
+            ds.grid_values, ds.vi_volume[i], ds.grid_whd[ds.vi_volume[i]],
             ds.grid_res[ds.vi_volume[i]], ds.vi_scalef[i], p_local, t)
         take = d < best
         best = jnp.where(take, d, best)
