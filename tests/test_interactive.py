@@ -1,0 +1,95 @@
+"""Interactive session tests: turntable math vs closed forms, preview +
+progressive accumulation, command handling, ANSI frame rendering.
+
+Mirrors run_interactive's state machine
+(/root/reference/apps/ypathtrace/ypathtrace.cpp:90-304) headlessly."""
+
+import numpy as np
+import pytest
+
+from vpt_tpu.interactive import InteractiveSession, ansi_image, camera_turntable
+from vpt_tpu.renderer import RenderParams
+from vpt_tpu.scene.testing import make_test_scene
+
+_CACHE = {}
+
+
+def _session():
+    if "s" not in _CACHE:
+        params = RenderParams(shader="eyelight", samples=8, resolution=48,
+                              bounces=2, pratio=4)
+        _CACHE["s"] = InteractiveSession(
+            make_test_scene(sphere_steps=6, with_volume=False), params)
+    return _CACHE["s"]
+
+
+def test_turntable_orbit_preserves_focus_distance():
+    frame = np.asarray(
+        [1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 2], np.float32).reshape(4, 3)
+    f2, focus2 = camera_turntable(frame, 2.0, rotate=(0.5, 0.2))
+    center = frame[3] - frame[2] * 2.0
+    np.testing.assert_allclose(
+        np.linalg.norm(f2[3] - center), 2.0, rtol=1e-5)
+    # orthonormal frame
+    np.testing.assert_allclose(f2[:3] @ f2[:3].T, np.eye(3), atol=1e-5)
+
+
+def test_turntable_dolly_and_pan():
+    frame = np.asarray(
+        [1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 2], np.float32).reshape(4, 3)
+    f2, focus2 = camera_turntable(frame, 2.0, dolly=0.5)
+    assert focus2 == pytest.approx(3.0)
+    np.testing.assert_allclose(f2[3], [0, 0, 3], atol=1e-6)
+    f3, _ = camera_turntable(frame, 2.0, pan=(0.1, -0.2))
+    np.testing.assert_allclose(f3[3], [0.1, -0.2, 2.0], atol=1e-6)
+
+
+def test_preview_then_progressive_steps():
+    s = _session()
+    d0 = s.display
+    assert d0 is not None and d0.shape[:2] == (s.renderer.height,
+                                               s.renderer.width)
+    assert np.isfinite(d0).all() and d0.max() > 0.01
+    assert s.current_samples == 0
+    s.step(2)
+    assert s.current_samples == 2
+    d2 = s.display
+    assert d2.shape == d0.shape
+    # refined image differs from the nearest-upscaled preview
+    assert np.abs(d2 - d0).mean() > 1e-4
+
+
+def test_orbit_command_changes_image_and_resets():
+    s = _session()
+    s.step(1)
+    before = s.display
+    assert s.handle_command("d")
+    assert s.current_samples == 0  # accumulation restarted
+    after = s.display
+    assert np.abs(after - before).mean() > 1e-3  # camera moved
+
+
+def test_exposure_and_quit_commands(tmp_path):
+    s = _session()
+    s.step(1)
+    before = s.display
+    s.handle_command("e")
+    brighter = s.display
+    assert brighter.mean() > before.mean()
+    s.handle_command("E")
+    out = str(tmp_path / "snap.png")
+    s.handle_command("p", output=out)
+    from vpt_tpu.scene.image_io import load_png
+
+    img = load_png(out)
+    assert img.shape[:2] == (s.renderer.height, s.renderer.width)
+    assert s.handle_command("x")   # unknown: ignored, still running
+    assert not s.handle_command("q")
+
+
+def test_ansi_image_shape():
+    img = np.random.rand(20, 40, 3).astype(np.float32)
+    text = ansi_image(img, cols=40)
+    lines = text.split("\n")
+    assert len(lines) >= 5
+    assert "▀" in lines[0]

@@ -32,6 +32,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser("vpt_tpu", description=__doc__)
     ap.add_argument("--scene", required=True, help="scene JSON filename")
     ap.add_argument("--output", default="out.png", help="output image filename")
+    ap.add_argument("--interactive", action="store_true",
+                    help="progressive terminal viewer with camera turntable")
+    ap.add_argument("--pratio", type=int, default=8,
+                    help="preview downscale ratio (interactive)")
     ap.add_argument("--shader", default="pathtrace", choices=SHADER_NAMES)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--resolution", type=int, default=720)
@@ -63,8 +67,14 @@ def main(argv=None):
         samples=args.samples, bounces=args.bounces,
         noimplicit_mis=args.noimplicitmis,
         spheretrace_maxiter=args.stmaxiter,
-        exposure=args.exposure, filmic=args.filmic,
+        exposure=args.exposure, filmic=args.filmic, pratio=args.pratio,
     )
+
+    if args.interactive:
+        from .interactive import run_interactive
+
+        run_interactive(args.scene, params, args.output)
+        return
 
     t0 = time.time()
     stage = {"t": time.time()}
