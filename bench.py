@@ -1,8 +1,12 @@
 """Benchmark driver: rays/sec/chip on tests/03_volume (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a recorded first-round figure kept in this file.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The primary metric is the BASELINE.md one — paths/sec/chip forward+backward
+(differentiable render step: render, L2 loss vs target, grads w.r.t. all
+material/volume parameters). "extra" carries the forward-only rate, the
+XLA-counted FLOP throughput, and configs. The reference publishes no
+numbers (BASELINE.md), so vs_baseline is measured against recorded
+first-working-build figures kept in this file.
 """
 
 import json
@@ -12,11 +16,54 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# recorded result of the first working TPU build (round 1); later rounds are
-# measured against it so progress is visible to the driver
-ROUND1_BASELINE_PATHS_PER_SEC = 120_000.0
+# recorded results of the first working TPU build of each metric; later
+# rounds are measured against them so progress is visible to the driver
+ROUND1_FWD_PATHS_PER_SEC = 120_000.0
+ROUND2_FWDBWD_PATHS_PER_SEC = 127_304.0  # stake recorded 2026-08-20 (round 2)
 
 SCENE = "/root/reference/tests/03_volume/volume.json"
+RESOLUTION = 360
+BOUNCES = 8
+
+
+def bench_forward(r):
+    """Forward progressive render throughput (paths == camera rays)."""
+    return r.rays_per_sec(samples=16, chunk=4)
+
+
+def bench_fwd_bwd(r):
+    """Differentiable step: forward render + backward to all diff params."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.parallel.mesh import extract_params, make_grad_step, make_mesh
+
+    mesh = make_mesh()
+    shade = r._make_shader()
+    step = make_grad_step(mesh, shade, r.width, r.height,
+                          total_samples=r.params.samples)
+    params = extract_params(r.ds)
+    target = jnp.zeros((r.width * r.height, 3), jnp.float32)
+    jstep = jax.jit(step)
+    loss, _ = jstep(r.ds, params, target, jnp.int32(0))  # compile + warm
+    jax.block_until_ready(loss)
+    iters = 4
+    t0 = time.time()
+    for i in range(iters):
+        loss, _ = jstep(r.ds, params, target, jnp.int32(i + 1))
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    paths_per_sec = iters * r.width * r.height / dt
+    flops = None
+    try:
+        cost = jstep.lower(r.ds, params, target, jnp.int32(0)).compile()
+        ca = cost.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            flops = float(ca["flops"]) * iters / dt
+    except Exception:
+        pass
+    return paths_per_sec, flops
 
 
 def main():
@@ -25,15 +72,25 @@ def main():
 
     enable_compile_cache()
     params = RenderParams(
-        shader="volpathtrace", samples=64, resolution=360, bounces=8)
+        shader="volpathtrace", samples=64, resolution=RESOLUTION,
+        bounces=BOUNCES)
     r = Renderer(SCENE, params)
-    # rays_per_sec compiles, warms, then times `samples` progressive samples
-    rps = r.rays_per_sec(samples=16, chunk=4)
+    fwd = bench_forward(r)
+    fwdbwd, flops_per_sec = bench_fwd_bwd(r)
+    extra = {
+        "fwd_paths_per_sec": round(fwd, 1),
+        "fwd_vs_round1": round(fwd / ROUND1_FWD_PATHS_PER_SEC, 3),
+        "config": f"tests/03_volume {RESOLUTION}px b{BOUNCES} volpathtrace",
+    }
+    if flops_per_sec is not None:
+        extra["xla_gflops_per_sec_fwdbwd"] = round(flops_per_sec / 1e9, 1)
     print(json.dumps({
-        "metric": "paths/sec/chip volpathtrace fwd tests/03_volume 360px b8",
-        "value": round(rps, 1),
+        "metric": ("paths/sec/chip volpathtrace fwd+bwd tests/03_volume "
+                   f"{RESOLUTION}px b{BOUNCES}"),
+        "value": round(fwdbwd, 1),
         "unit": "paths/s",
-        "vs_baseline": round(rps / ROUND1_BASELINE_PATHS_PER_SEC, 3),
+        "vs_baseline": round(fwdbwd / ROUND2_FWDBWD_PATHS_PER_SEC, 3),
+        "extra": extra,
     }))
 
 
