@@ -66,7 +66,9 @@ class Renderer:
         p = progress or (lambda *_: None)
         if isinstance(scene, str):
             p("load scene")
-            scene = load_json_scene(scene)
+            from .scene.sceneio import load_scene
+
+            scene = load_scene(scene)
         self.scene = scene
         p("tesselate")
         tesselate_surfaces(scene)
