@@ -13,5 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# VPT_TPU_TESTS=1 keeps the real TPU backend (tests/test_golden.py renders
+# against the reference goldens on hardware); default is the virtual 8-CPU
+# mesh so the suite runs anywhere.
+if os.environ.get("VPT_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")

@@ -161,3 +161,28 @@ def test_light_pdf_bvh_matches_exact_sweep_on_mesh_emitter():
         ds, lights_exact, jnp.asarray(pos), jnp.asarray(dirs)))
     assert (p_exact > 0).sum() >= 20  # many rays actually cross the emitter
     np.testing.assert_allclose(p_bvh, p_exact, rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_nonresident_hbm_mode_matches(monkeypatch):
+    """Large-BVH path: tables in HBM with per-pop row DMA must agree with
+    the VMEM-resident mode (forced by shrinking the residency budget)."""
+    from vpt_tpu.ops import bvh_pallas as BP
+    from vpt_tpu.scene.ply import load_ply
+
+    m = load_ply("/root/reference/tests/03_volume/shapes/sphere.ply")
+    q = m["quads"]
+    tris = m["positions"][np.concatenate([q[:, [0, 1, 3]], q[:, [2, 3, 1]]])]
+    bvh, perm = build_bvh(tris)
+    pb = jax.tree.map(jnp.asarray, BP.from_bvh_arrays(bvh))
+    o, d = _rays_at(tris.min((0, 1)), tris.max((0, 1)), 192, seed=11)
+    ref = BP.intersect_bvh_pallas(pb, jnp.asarray(o), jnp.asarray(d),
+                                  interpret=True)
+    monkeypatch.setattr(BP, "RESIDENT_BYTES", 0)
+    new = BP.intersect_bvh_pallas(pb, jnp.asarray(o), jnp.asarray(d),
+                                  interpret=True)
+    assert np.array_equal(np.asarray(ref["hit"]), np.asarray(new["hit"]))
+    h = np.asarray(ref["hit"])
+    assert h.sum() >= 10
+    assert np.array_equal(np.asarray(ref["tri"])[h], np.asarray(new["tri"])[h])
+    np.testing.assert_allclose(
+        np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)

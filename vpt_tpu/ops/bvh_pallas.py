@@ -46,6 +46,7 @@ from ..core.vecmath import FLT_MAX, RAY_EPS
 LANES = 128
 BLOCK_ROWS = 16          # 16 x 128 = 2048 rays per packet
 STACK_DEPTH = 96
+RESIDENT_BYTES = 10 * 1024 * 1024  # VMEM-resident BVH budget
 NEG_INF = float(np.float32(-np.inf))
 NODES_PER_ROW = 4        # 32 floats per node
 LEAVES_PER_ROW = 3       # 40 floats per leaf (LS=4 triangles)
@@ -85,7 +86,9 @@ def from_bvh_arrays(bvh) -> PallasBvh:
 
 def _kernel(root_ref, nodes_ref, leaves_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, tri_out, u_out, v_out, stack_ref, tmin: float):
+            t_out, tri_out, u_out, v_out, stack_ref,
+            nrow_scratch, lrow_scratch, nsem, lsem,
+            tmin: float, resident: bool):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     sd = lambda x: jnp.where(jnp.abs(x) < 1e-12,
@@ -103,7 +106,16 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
 
     def internal(ref, sp, best_t, best_tri, best_u, best_v):
         # --- internal node: 4 slab tests over the whole packet ---------
-        nrow = nodes_ref[pl.ds(ref // NODES_PER_ROW, 1), :]  # (1, 128)
+        if resident:
+            nrow = nodes_ref[pl.ds(ref // NODES_PER_ROW, 1), :]  # (1, 128)
+        else:
+            # BVH larger than VMEM: tables live in HBM, fetch one row
+            cp = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds(ref // NODES_PER_ROW, 1), :],
+                nrow_scratch, nsem)
+            cp.start()
+            cp.wait()
+            nrow = nrow_scratch[:]
         rec_2d = jax.lax.switch(
             ref % NODES_PER_ROW,
             [lambda r=nrow, j=j: jax.lax.slice(r, (0, j * 32), (1, j * 32 + 32))
@@ -154,7 +166,15 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
     def leaf(ref, sp, best_t, best_tri, best_u, best_v):
         # --- leaf: 4 triangle tests over the whole packet ---------------
         lidx = -ref - 2
-        lrow = leaves_ref[pl.ds(lidx // LEAVES_PER_ROW, 1), :]  # (1, 128)
+        if resident:
+            lrow = leaves_ref[pl.ds(lidx // LEAVES_PER_ROW, 1), :]  # (1, 128)
+        else:
+            cp = pltpu.make_async_copy(
+                leaves_ref.at[pl.ds(lidx // LEAVES_PER_ROW, 1), :],
+                lrow_scratch, lsem)
+            cp.start()
+            cp.wait()
+            lrow = lrow_scratch[:]
         lrec_2d = jax.lax.switch(
             lidx % LEAVES_PER_ROW,
             [lambda r=lrow, j=j: jax.lax.slice(r, (0, j * 40), (1, j * 40 + 40))
@@ -227,15 +247,22 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
     rows = Rp // LANES
     grid = rows // block_rows
 
+    # small BVHs live wholly in VMEM (fast scalar-indexed row loads); BVHs
+    # that would blow the ~16MB scoped-VMEM budget stay in HBM and each
+    # popped row is DMA'd into a 1-row scratch (512B per pop, amortized
+    # over the 2048-ray packet)
+    resident = (bvh.nodes.size + bvh.leaves.size) * 4 <= RESIDENT_BYTES
+
+    bvh_space = pltpu.VMEM if resident else pltpu.ANY
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
+                                  memory_space=bvh_space)
     rblk = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishape = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, tmin=float(tmin)),
+        partial(_kernel, tmin=float(tmin), resident=resident),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # root
@@ -244,7 +271,13 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
         ],
         out_specs=(rblk, rblk, rblk, rblk),
         out_shape=(shape, ishape, shape, shape),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(bvh.root.reshape(1), bvh.nodes, bvh.leaves,
       ox, oy, oz, dx, dy, dz, tm)

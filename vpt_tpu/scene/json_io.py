@@ -52,10 +52,13 @@ def _synthesize_shape(name: str) -> dict:
     from .procedural import make_sphere_fv, make_sphere_shape
 
     lname = name.lower()
-    if "sphere" in lname:
-        return make_sphere_shape(steps=32, scale=0.075, uvscale=1.0)
-    # generic fallback: unit sphere at origin
-    return make_sphere_shape(steps=64, scale=0.15, uvscale=1.0)
+    scale = 0.075 if "sphere" in lname else 0.15
+    steps = 32 if "sphere" in lname else 64
+    s = make_sphere_shape(steps=steps, scale=scale, uvscale=1.0)
+    # reference scenes place objects with identity frames sitting on the
+    # y=0 floor (cf. shapes/sphere.ply centered at y=0.075)
+    s["positions"] = s["positions"] + np.array([0, scale, 0], np.float32)
+    return s
 
 
 def load_json_scene(path: str) -> HostScene:
@@ -239,9 +242,12 @@ def load_json_scene(path: str) -> HostScene:
             from .procedural import make_sphere_fv
 
             # dense enough that per-vertex displacement resolves the bump
-            # texture's dots (1024^2 tex -> ~4 texels/vertex at 128 steps);
-            # at 32 steps the spikes alias into fat lumps
-            fv = make_sphere_fv(steps=128, scale=0.075)
+            # texture's dots (1024^2 tex -> ~4 texels/vertex at 128 final
+            # steps; at 32 the spikes alias into fat lumps), but scaled down
+            # by the subdivision count so Catmull-Clark doesn't explode the
+            # triangle count (each level quadruples quads)
+            steps = max(8, 128 >> max(scene.subdivs[i].subdivisions, 0))
+            fv = make_sphere_fv(steps=steps, scale=0.075)
         sd.quadspos = fv["quadspos"]
         sd.quadsnorm = fv["quadsnorm"]
         sd.quadstexcoord = fv["quadstexcoord"]
