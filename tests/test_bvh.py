@@ -186,3 +186,27 @@ def test_pallas_nonresident_hbm_mode_matches(monkeypatch):
     assert np.array_equal(np.asarray(ref["tri"])[h], np.asarray(new["tri"])[h])
     np.testing.assert_allclose(
         np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)
+
+
+def test_bvh_refit_tracks_moved_geometry():
+    """Refit (yocto_bvh.cpp:510-524 semantics): after moving vertices with
+    fixed topology, the refitted BVH must agree with brute force on the new
+    geometry."""
+    from vpt_tpu.ops.bvh import build_bvh_refittable, refit_bvh
+
+    tris = _random_tris(300, seed=12)
+    bvh, perm, info = build_bvh_refittable(tris)
+    trisp = tris[perm]
+    moved = trisp + np.sin(trisp * 3.0) * 0.2  # smooth deformation
+    re = refit_bvh(bvh, info, moved.astype(np.float32))
+    o, d = _rays_at(moved.min((0, 1)), moved.max((0, 1)), 256, seed=13)
+    bvh_d = jax.tree.map(jnp.asarray, re)
+    res = intersect_bvh(bvh_d, jnp.asarray(moved), jnp.asarray(o),
+                        jnp.asarray(d))
+    ref = intersect_tris_brute(jnp.asarray(o), jnp.asarray(d),
+                               jnp.asarray(moved), 1e-4, 1e30)
+    assert np.array_equal(np.asarray(res["hit"]), np.asarray(ref["hit"]))
+    h = np.asarray(res["hit"])
+    assert h.sum() >= 20
+    np.testing.assert_allclose(
+        np.asarray(res["dist"])[h], np.asarray(ref["dist"])[h], rtol=1e-5)

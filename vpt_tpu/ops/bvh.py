@@ -149,6 +149,86 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
     )
 
 
+class BvhRefitInfo(NamedTuple):
+    """Topology retained for refitting (yocto_bvh.cpp:510-524): child refs
+    per node (leaf/internal encoding as in node_rec) and leaf prim spans
+    into the permuted triangle order."""
+    child_refs: np.ndarray   # (N, 4) int32
+    leaf_meta: np.ndarray    # (L, 2) int32 (start, count)
+    perm: np.ndarray         # (T,) permutation applied at build
+
+
+def build_bvh_refittable(tri_pos: np.ndarray):
+    """Python build that also returns the refit topology. Returns
+    (BvhArrays, perm, BvhRefitInfo)."""
+    # force the Python builder: the native one does not expose leaf spans
+    import vpt_tpu.native as native_mod
+
+    orig = native_mod.bvh_build4
+    native_mod.bvh_build4 = lambda *_a, **_k: None
+    try:
+        bvh, perm = build_bvh(tri_pos)
+    finally:
+        native_mod.bvh_build4 = orig
+    N = bvh.node_rec.shape[0]
+    child_refs = bvh.node_rec[:, 24:28].view(np.int32).copy()
+    L = bvh.leaf_rec.shape[0]
+    LS = bvh.leaf_rec.shape[1] // 10
+    ids = bvh.leaf_rec[:, LS * 9:].view(np.int32)
+    starts = np.where((ids >= 0).any(axis=1), ids[:, 0], 0)
+    counts = (ids >= 0).sum(axis=1)
+    info = BvhRefitInfo(
+        child_refs=child_refs,
+        leaf_meta=np.stack([starts, counts.astype(np.int32)], axis=1),
+        perm=perm)
+    return bvh, perm, info
+
+
+def refit_bvh(bvh: BvhArrays, info: BvhRefitInfo,
+              tri_pos_permuted: np.ndarray) -> BvhArrays:
+    """Update leaf geometry and node bounds for moved vertices with fixed
+    topology (yocto refit_bvh semantics). tri_pos_permuted: (T, 3, 3) in
+    the build permutation order."""
+    LS = bvh.leaf_rec.shape[1] // 10
+    L = bvh.leaf_rec.shape[0]
+    leaf_rec = np.asarray(bvh.leaf_rec).copy()
+    leaf_lo = np.full((L, 3), 1e30, np.float32)
+    leaf_hi = np.full((L, 3), -1e30, np.float32)
+    pre_min = tri_pos_permuted.min(axis=1)
+    pre_max = tri_pos_permuted.max(axis=1)
+    for li in range(L):
+        s, c = info.leaf_meta[li]
+        if c == 0:
+            continue
+        tris = np.zeros((LS, 9), np.float32)
+        tris[:c] = tri_pos_permuted[s:s + c].reshape(c, 9)
+        leaf_rec[li, :LS * 9] = tris.reshape(-1)
+        leaf_lo[li] = pre_min[s:s + c].min(axis=0)
+        leaf_hi[li] = pre_max[s:s + c].max(axis=0)
+
+    N = bvh.node_rec.shape[0]
+    node_rec = np.asarray(bvh.node_rec).copy()
+    node_lo = np.full((N, 3), 1e30, np.float32)
+    node_hi = np.full((N, 3), -1e30, np.float32)
+    # children are allocated after their parent, so a reverse sweep sees
+    # every child's bounds before its parent needs them
+    for ni in range(N - 1, -1, -1):
+        for k in range(4):
+            ref = info.child_refs[ni, k]
+            if ref == -1:
+                lo = np.full(3, 1e30, np.float32)
+                hi = np.full(3, -1e30, np.float32)
+            elif ref >= 0:
+                lo, hi = node_lo[ref], node_hi[ref]
+            else:
+                lo, hi = leaf_lo[-ref - 2], leaf_hi[-ref - 2]
+            node_rec[ni, k * 6:k * 6 + 3] = lo
+            node_rec[ni, k * 6 + 3:k * 6 + 6] = hi
+            node_lo[ni] = np.minimum(node_lo[ni], lo)
+            node_hi[ni] = np.maximum(node_hi[ni], hi)
+    return BvhArrays(node_rec=node_rec, leaf_rec=leaf_rec, root=bvh.root)
+
+
 # ---------------------------------------------------------------------------
 # device traversal
 # ---------------------------------------------------------------------------
