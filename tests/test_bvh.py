@@ -87,22 +87,27 @@ def test_bvh_quadsphere_dense():
     )
 
 
-def test_pallas_packet_matches_xla_traversal():
-    """The Pallas packet kernel (interpret mode on CPU) must agree with the
-    XLA traversal element-for-element: hits, tri ids, distances, uv."""
-    from vpt_tpu.ops.bvh_pallas import from_bvh_arrays, intersect_bvh_pallas
-
+def _sphere_scene_rays():
     from vpt_tpu.scene.ply import load_ply
 
     m = load_ply("/root/reference/tests/03_volume/shapes/sphere.ply")
     q = m["quads"]
     tris = m["positions"][np.concatenate([q[:, [0, 1, 3]], q[:, [2, 3, 1]]])]
     bvh, perm = build_bvh(tris)
-    trisp = tris[perm]
     o, d = _rays_at(tris.min((0, 1)), tris.max((0, 1)), 256, seed=5)
+    alive = np.random.RandomState(9).rand(256) > 0.25
+    return tris[perm], bvh, o, d, alive
+
+
+def test_pallas_packet_matches_xla_traversal(monkeypatch):
+    """The Pallas packet kernel (interpret mode on CPU) must agree with the
+    pure-XLA traversal element-for-element: hits, tri ids, distances, uv."""
+    from vpt_tpu.ops.bvh_pallas import from_bvh_arrays, intersect_bvh_pallas
+
+    monkeypatch.setenv("VPT_CPU_TRAVERSE", "xla")
+    trisp, bvh, o, d, alive = _sphere_scene_rays()
     bvh_d = jax.tree.map(jnp.asarray, bvh)
     pb = jax.tree.map(jnp.asarray, from_bvh_arrays(bvh))
-    alive = np.random.RandomState(9).rand(256) > 0.25
     ref = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o),
                         jnp.asarray(d), alive=jnp.asarray(alive))
     new = intersect_bvh_pallas(pb, jnp.asarray(o), jnp.asarray(d),
@@ -115,6 +120,36 @@ def test_pallas_packet_matches_xla_traversal():
         np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(ref["uv"])[h], np.asarray(new["uv"])[h], rtol=1e-5, atol=1e-6)
+
+
+def test_native_cpu_traversal_matches_xla(monkeypatch):
+    """The native C++ traversal (the CPU-backend default, ops/bvh.py
+    _traverse_native) must agree with the pure-XLA loop: same hits/tris,
+    distances to rtol 1e-5, uv to 1e-3 (XLA's LLVM backend contracts
+    mul+add into FMA, scalar C++ does not — on sliver triangles near the
+    sphere poles the Moller-Trumbore uv amplifies that last-ulp difference,
+    so bitwise parity across backends is not achievable there)."""
+    from vpt_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native helpers unavailable")
+    trisp, bvh, o, d, alive = _sphere_scene_rays()
+    bvh_d = jax.tree.map(jnp.asarray, bvh)
+    monkeypatch.setenv("VPT_CPU_TRAVERSE", "native")
+    nat = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o),
+                        jnp.asarray(d), alive=jnp.asarray(alive))
+    monkeypatch.setenv("VPT_CPU_TRAVERSE", "xla")
+    ref = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o),
+                        jnp.asarray(d), alive=jnp.asarray(alive))
+    assert np.array_equal(np.asarray(ref["hit"]), np.asarray(nat["hit"]))
+    h = np.asarray(ref["hit"])
+    assert np.array_equal(np.asarray(ref["tri"])[h], np.asarray(nat["tri"])[h])
+    np.testing.assert_allclose(
+        np.asarray(ref["dist"])[h], np.asarray(nat["dist"])[h], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref["uv"])[h], np.asarray(nat["uv"])[h], atol=1e-3)
 
 
 def test_light_pdf_bvh_matches_exact_sweep_on_mesh_emitter():

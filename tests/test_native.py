@@ -8,12 +8,12 @@ import pytest
 from vpt_tpu import native
 
 
-def _python_bvh(tris):
+def _python_bvh(tris, leaf_size):
     os.environ["VPT_NATIVE"] = "0"
     try:
         import vpt_tpu.ops.bvh as B
 
-        return B.build_bvh(tris)
+        return B.build_bvh(tris, leaf_size=leaf_size)
     finally:
         os.environ["VPT_NATIVE"] = "1"
 
@@ -23,13 +23,14 @@ needs_native = pytest.mark.skipif(not native.available(),
 
 
 @needs_native
-def test_bvh_build_native_bit_identical():
+@pytest.mark.parametrize("leaf_size", [4, 8])
+def test_bvh_build_native_bit_identical(leaf_size):
     r = np.random.RandomState(3)
     tris = (r.randn(777, 1, 3) + r.randn(777, 3, 3) * 0.1).astype(np.float32)
-    built = native.bvh_build4(tris)
+    built = native.bvh_build4(tris, leaf_size)
     assert built is not None
     node_n, leaf_n, root_n, perm_n = built
-    bvh_p, perm_p = _python_bvh(tris)
+    bvh_p, perm_p = _python_bvh(tris, leaf_size)
     assert np.array_equal(perm_n, perm_p)
     assert int(root_n) == int(bvh_p.root)
     assert node_n.shape == bvh_p.node_rec.shape
@@ -39,12 +40,13 @@ def test_bvh_build_native_bit_identical():
 
 
 @needs_native
-def test_bvh_build_native_small_and_leafroot():
+@pytest.mark.parametrize("leaf_size", [4, 8])
+def test_bvh_build_native_small_and_leafroot(leaf_size):
     for T in (1, 3, 4, 5, 17):
         r = np.random.RandomState(T)
         tris = r.randn(T, 3, 3).astype(np.float32)
-        node_n, leaf_n, root_n, perm_n = native.bvh_build4(tris)
-        bvh_p, perm_p = _python_bvh(tris)
+        node_n, leaf_n, root_n, perm_n = native.bvh_build4(tris, leaf_size)
+        bvh_p, perm_p = _python_bvh(tris, leaf_size)
         assert np.array_equal(perm_n, perm_p), T
         assert int(root_n) == int(bvh_p.root), T
         assert np.array_equal(node_n.view(np.uint32),

@@ -53,10 +53,21 @@ def _load():
             ctypes.c_int64, ctypes.c_int64]
         lib.png_unfilter.restype = None
         lib.bvh_build4.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64)]
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.bvh_build4.restype = ctypes.c_int32
+        lib.bvh_traverse.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.bvh_traverse.restype = None
+        lib.bvh_pdf_accum.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_float,
+            ctypes.c_void_p]
+        lib.bvh_pdf_accum.restype = None
         _lib = lib
         return _lib
 
@@ -84,23 +95,68 @@ def png_unfilter(scan: np.ndarray, filters: np.ndarray, bpp: int) -> bool:
     return True
 
 
-def bvh_build4(tri_pos: np.ndarray):
+def bvh_build4(tri_pos: np.ndarray, leaf_size: int = 4):
     """Native 4-wide BVH build; returns (node_rec, leaf_rec, root, perm) or
     None when unavailable. Bit-identical to ops/bvh.py::build_bvh."""
     lib = _load() if _enabled() else None
     if lib is None:
         return None
     T = tri_pos.shape[0]
+    ls = int(leaf_size)
     tp = np.ascontiguousarray(tri_pos.reshape(T, 9), np.float32)
     node_rec = np.zeros((max(T, 1), 32), np.float32)
-    leaf_rec = np.zeros((max(T, 1), 40), np.float32)
+    leaf_rec = np.zeros((max(T, 1), ls * 10), np.float32)
     perm = np.zeros(T, np.int64)
     nn = ctypes.c_int64(0)
     nl = ctypes.c_int64(0)
     root = lib.bvh_build4(
-        tp.ctypes.data, T, node_rec.ctypes.data, leaf_rec.ctypes.data,
+        tp.ctypes.data, T, ls, node_rec.ctypes.data, leaf_rec.ctypes.data,
         perm.ctypes.data, ctypes.byref(nn), ctypes.byref(nl))
     n_nodes = max(nn.value, 1)
     n_leaves = max(nl.value, 1)
     return (node_rec[:n_nodes].copy(), leaf_rec[:n_leaves].copy(),
             np.int32(root), perm)
+
+
+def bvh_traverse(node_rec, leaf_rec, root, ray_o, ray_d, tmax, tmin):
+    """Native multithreaded closest-hit traversal; returns
+    (t, tri, u, v) numpy arrays or None when unavailable."""
+    lib = _load() if _enabled() else None
+    if lib is None:
+        return None
+    node_rec = np.ascontiguousarray(node_rec, np.float32)
+    leaf_rec = np.ascontiguousarray(leaf_rec, np.float32)
+    ls = leaf_rec.shape[1] // 10
+    R = ray_o.shape[0]
+    o = np.ascontiguousarray(ray_o, np.float32)
+    d = np.ascontiguousarray(ray_d, np.float32)
+    tm = np.ascontiguousarray(tmax, np.float32)
+    out_t = np.empty(R, np.float32)
+    out_tri = np.empty(R, np.int32)
+    out_u = np.empty(R, np.float32)
+    out_v = np.empty(R, np.float32)
+    lib.bvh_traverse(
+        node_rec.ctypes.data, leaf_rec.ctypes.data, ls, int(root), R,
+        o.ctypes.data, d.ctypes.data, tm.ctypes.data, float(tmin),
+        out_t.ctypes.data, out_tri.ctypes.data, out_u.ctypes.data,
+        out_v.ctypes.data)
+    return out_t, out_tri, out_u, out_v
+
+
+def bvh_pdf_accum(node_rec, leaf_rec, root, ray_o, ray_d, tmin):
+    """Native all-hits solid-angle pdf accumulation (light_pdf_bvh twin);
+    returns (R,) numpy float32 or None when unavailable."""
+    lib = _load() if _enabled() else None
+    if lib is None:
+        return None
+    node_rec = np.ascontiguousarray(node_rec, np.float32)
+    leaf_rec = np.ascontiguousarray(leaf_rec, np.float32)
+    ls = leaf_rec.shape[1] // 10
+    R = ray_o.shape[0]
+    o = np.ascontiguousarray(ray_o, np.float32)
+    d = np.ascontiguousarray(ray_d, np.float32)
+    out = np.empty(R, np.float32)
+    lib.bvh_pdf_accum(
+        node_rec.ctypes.data, leaf_rec.ctypes.data, ls, int(root), R,
+        o.ctypes.data, d.ctypes.data, float(tmin), out.ctypes.data)
+    return out

@@ -10,18 +10,30 @@
 //     sequential per byte.
 //
 //  2. bvh_build4 — the 4-wide BVH builder of ops/bvh.py (median split on the
-//     widest-extent axis via stable sort, <=4 triangles per leaf), mirroring
+//     widest-extent axis via stable sort, parameterized leaf size), mirroring
 //     yocto's middle/median build (yocto_bvh.cpp:317-441) recast for the
 //     4-ary layout. Emits the exact same node/leaf records as the Python
 //     builder (verified bit-identical in tests/test_native.py).
+//
+//  3. bvh_traverse — per-ray short-stack closest-hit traversal over the same
+//     records, multithreaded over rays. This is the CPU-backend traversal
+//     (called via jax.pure_callback from ops/bvh.py): XLA's lock-step
+//     while-loop fallback was measured at ~8 rays/s on real scenes
+//     (VERDICT round 2), this runs at tens of Mray/s. Semantics match
+//     yocto's stack walk (yocto_bvh.cpp:699-797): ordered descent by child
+//     tnear, tmax shrink on hit, slab test with the reference's 1.00000024
+//     tmax inflation (yocto_geometry.h:842-868), Moller-Trumbore accepts
+//     (yocto_geometry.h:786-820).
 //
 // Built on demand by vpt_tpu/native/__init__.py with g++ -O3 and bound via
 // ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -80,9 +92,8 @@ void png_unfilter(uint8_t* scan, const uint8_t* filters, int64_t height,
 // Returns root ref; counts via out params. Encoding: >=0 internal,
 // <=-2 leaf -(ref+2), -1 empty.
 // ---------------------------------------------------------------------------
-static const int LS = 4;
-
 struct Builder {
+  int LS = 4;
   const float* tp;  // (T, 9)
   int64_t T;
   std::vector<int64_t> perm;
@@ -117,14 +128,14 @@ struct Builder {
     if (count <= LS || depth > 40) {
       int64_t li = n_leaves++;
       float* lr = leaf_rec + li * (LS * 10);
-      int32_t ids[LS] = {-1, -1, -1, -1};
+      std::vector<int32_t> ids(LS, -1);
       std::memset(lr, 0, LS * 9 * sizeof(float));
       int64_t n = std::min<int64_t>(count, LS);
       for (int64_t k = 0; k < n; ++k) {
         std::memcpy(lr + k * 9, tp + perm[start + k] * 9, 9 * sizeof(float));
         ids[k] = int32_t(start + k);
       }
-      std::memcpy(lr + LS * 9, ids, LS * sizeof(int32_t));
+      std::memcpy(lr + LS * 9, ids.data(), LS * sizeof(int32_t));
       return int32_t(-li - 2);
     }
     int64_t mid = split2(start, end);
@@ -158,10 +169,11 @@ struct Builder {
   }
 };
 
-int32_t bvh_build4(const float* tri_pos, int64_t T, float* node_rec,
-                   float* leaf_rec, int64_t* perm_out, int64_t* n_nodes,
-                   int64_t* n_leaves) {
+int32_t bvh_build4(const float* tri_pos, int64_t T, int64_t leaf_size,
+                   float* node_rec, float* leaf_rec, int64_t* perm_out,
+                   int64_t* n_nodes, int64_t* n_leaves) {
   Builder b;
+  b.LS = int(leaf_size);
   b.tp = tri_pos;
   b.T = T;
   b.node_rec = node_rec;
@@ -188,6 +200,229 @@ int32_t bvh_build4(const float* tri_pos, int64_t T, float* node_rec,
   *n_nodes = b.n_nodes;
   *n_leaves = b.n_leaves;
   return root;
+}
+
+// ---------------------------------------------------------------------------
+// Per-ray closest-hit traversal over the builder's records.
+//   node_rec: (N, 32), leaf_rec: (L, LS*10), encoding as in the builder.
+// Rays: o/d (R,3), tmax (R,); outputs best t/tri/u/v per ray (tri = -1 miss).
+// Threads: work split statically over hardware_concurrency() threads.
+// ---------------------------------------------------------------------------
+static inline void traverse_one(const float* node_rec, const float* leaf_rec,
+                                int ls, int32_t root, const float* o,
+                                const float* d, float tmax, float tmin,
+                                float* out_t, int32_t* out_tri, float* out_u,
+                                float* out_v) {
+  float ix[3];
+  for (int a = 0; a < 3; ++a) {
+    float da = d[a];
+    if (std::fabs(da) < 1e-12f) da = da >= 0 ? 1e-12f : -1e-12f;
+    ix[a] = 1.0f / da;
+  }
+  float best_t = tmax;
+  int32_t best_tri = -1;
+  float best_u = 0, best_v = 0;
+  int32_t stack[128];
+  int sp = 0;
+  stack[sp++] = root;
+  while (sp > 0) {
+    int32_t ref = stack[--sp];
+    if (ref >= 0) {
+      const float* nr = node_rec + int64_t(ref) * 32;
+      const int32_t* refs = reinterpret_cast<const int32_t*>(nr + 24);
+      float tn[4];
+      int32_t kid[4];
+      int nhit = 0;
+      for (int k = 0; k < 4; ++k) {
+        if (refs[k] == -1) continue;
+        const float* s = nr + k * 6;
+        float tnear = tmin, tfar = best_t;
+        for (int a = 0; a < 3; ++a) {
+          float t0 = (s[a] - o[a]) * ix[a];
+          float t1 = (s[3 + a] - o[a]) * ix[a];
+          tnear = std::max(tnear, std::min(t0, t1));
+          tfar = std::min(tfar, std::max(t0, t1));
+        }
+        tfar *= 1.00000024f;
+        if (tnear <= tfar) {
+          tn[nhit] = tnear;
+          kid[nhit] = refs[k];
+          ++nhit;
+        }
+      }
+      // push far-to-near (insertion sort descending by tnear)
+      for (int i = 1; i < nhit; ++i)
+        for (int j = i; j > 0 && tn[j] > tn[j - 1]; --j) {
+          std::swap(tn[j], tn[j - 1]);
+          std::swap(kid[j], kid[j - 1]);
+        }
+      for (int i = 0; i < nhit && sp < 127; ++i) stack[sp++] = kid[i];
+    } else {
+      const float* lr = leaf_rec + int64_t(-ref - 2) * (ls * 10);
+      const int32_t* ids = reinterpret_cast<const int32_t*>(lr + ls * 9);
+      for (int k = 0; k < ls; ++k) {
+        if (ids[k] < 0) continue;
+        const float* p0 = lr + k * 9;
+        float e1[3], e2[3], pv[3], tv[3], qv[3];
+        for (int a = 0; a < 3; ++a) {
+          e1[a] = p0[3 + a] - p0[a];
+          e2[a] = p0[6 + a] - p0[a];
+        }
+        pv[0] = d[1] * e2[2] - d[2] * e2[1];
+        pv[1] = d[2] * e2[0] - d[0] * e2[2];
+        pv[2] = d[0] * e2[1] - d[1] * e2[0];
+        float det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2];
+        if (det == 0) continue;
+        float inv = 1.0f / det;
+        for (int a = 0; a < 3; ++a) tv[a] = o[a] - p0[a];
+        float u = (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv;
+        if (u < 0 || u > 1) continue;
+        qv[0] = tv[1] * e1[2] - tv[2] * e1[1];
+        qv[1] = tv[2] * e1[0] - tv[0] * e1[2];
+        qv[2] = tv[0] * e1[1] - tv[1] * e1[0];
+        float v = (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv;
+        if (v < 0 || u + v > 1) continue;
+        float t = (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv;
+        if (t < tmin || t > best_t) continue;
+        best_t = t;
+        best_tri = ids[k];
+        best_u = u;
+        best_v = v;
+      }
+    }
+  }
+  *out_t = best_t;
+  *out_tri = best_tri;
+  *out_u = best_u;
+  *out_v = best_v;
+}
+
+void bvh_traverse(const float* node_rec, const float* leaf_rec, int64_t ls,
+                  int32_t root, int64_t R, const float* ray_o,
+                  const float* ray_d, const float* tmax, float tmin,
+                  float* out_t, int32_t* out_tri, float* out_u,
+                  float* out_v) {
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (R < 1024) nthreads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (tmax[i] <= tmin) {  // dead ray (alive-mask encoded as tmax=-inf)
+        out_t[i] = tmax[i];
+        out_tri[i] = -1;
+        out_u[i] = 0;
+        out_v[i] = 0;
+        continue;
+      }
+      traverse_one(node_rec, leaf_rec, int(ls), root, ray_o + i * 3,
+                   ray_d + i * 3, tmax[i], tmin, out_t + i, out_tri + i,
+                   out_u + i, out_v + i);
+    }
+  };
+  if (nthreads == 1) {
+    work(0, R);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t chunk = (R + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(R, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+}
+
+// Solid-angle pdf accumulation over ALL triangles hit along each ray
+// (CPU twin of ops/bvh.py light_pdf_bvh / _accumulate_pdf_impl).
+void bvh_pdf_accum(const float* node_rec, const float* leaf_rec, int64_t ls,
+                   int32_t root, int64_t R, const float* ray_o,
+                   const float* ray_d, float tmin, float* out_pdf) {
+  int nthreads = int(std::thread::hardware_concurrency());
+  if (nthreads < 1 || R < 1024) nthreads = 1;
+  auto work = [&](int64_t lo_r, int64_t hi_r) {
+    for (int64_t i = lo_r; i < hi_r; ++i) {
+      const float* o = ray_o + i * 3;
+      const float* d = ray_d + i * 3;
+      float ix[3];
+      for (int a = 0; a < 3; ++a) {
+        float da = d[a];
+        if (std::fabs(da) < 1e-12f) da = da >= 0 ? 1e-12f : -1e-12f;
+        ix[a] = 1.0f / da;
+      }
+      float pdf = 0.0f;
+      int32_t stack[128];
+      int sp = 0;
+      stack[sp++] = root;
+      while (sp > 0) {
+        int32_t ref = stack[--sp];
+        if (ref >= 0) {
+          const float* nr = node_rec + int64_t(ref) * 32;
+          const int32_t* refs = reinterpret_cast<const int32_t*>(nr + 24);
+          for (int k = 0; k < 4; ++k) {
+            if (refs[k] == -1 || sp >= 127) continue;
+            const float* s = nr + k * 6;
+            float tnear = tmin, tfar = 3.4e38f;
+            for (int a = 0; a < 3; ++a) {
+              float t0 = (s[a] - o[a]) * ix[a];
+              float t1 = (s[3 + a] - o[a]) * ix[a];
+              tnear = std::max(tnear, std::min(t0, t1));
+              tfar = std::min(tfar, std::max(t0, t1));
+            }
+            if (tnear <= tfar * 1.00000024f) stack[sp++] = refs[k];
+          }
+        } else {
+          const float* lr = leaf_rec + int64_t(-ref - 2) * (ls * 10);
+          const int32_t* ids = reinterpret_cast<const int32_t*>(lr + ls * 9);
+          for (int k = 0; k < ls; ++k) {
+            if (ids[k] < 0) continue;
+            const float* p0 = lr + k * 9;
+            float e1[3], e2[3], pv[3], tv[3], qv[3];
+            for (int a = 0; a < 3; ++a) {
+              e1[a] = p0[3 + a] - p0[a];
+              e2[a] = p0[6 + a] - p0[a];
+            }
+            pv[0] = d[1] * e2[2] - d[2] * e2[1];
+            pv[1] = d[2] * e2[0] - d[0] * e2[2];
+            pv[2] = d[0] * e2[1] - d[1] * e2[0];
+            float det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2];
+            if (det == 0) continue;
+            float inv = 1.0f / det;
+            for (int a = 0; a < 3; ++a) tv[a] = o[a] - p0[a];
+            float u = (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv;
+            if (u < 0 || u > 1) continue;
+            qv[0] = tv[1] * e1[2] - tv[2] * e1[1];
+            qv[1] = tv[2] * e1[0] - tv[0] * e1[2];
+            qv[2] = tv[0] * e1[1] - tv[1] * e1[0];
+            float v = (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv;
+            if (v < 0 || u + v > 1) continue;
+            float t = (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv;
+            if (t < tmin) continue;
+            float gn[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                           e1[2] * e2[0] - e1[0] * e2[2],
+                           e1[0] * e2[1] - e1[1] * e2[0]};
+            float gnl = std::sqrt(std::max(
+                gn[0] * gn[0] + gn[1] * gn[1] + gn[2] * gn[2], 1e-30f));
+            float cosw = std::fabs(det) / gnl;
+            if (cosw > 1e-12f) pdf += t * t / cosw;
+          }
+        }
+      }
+      out_pdf[i] = pdf;
+    }
+  };
+  if (nthreads == 1) {
+    work(0, R);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t chunk = (R + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+      int64_t lo = t * chunk, hi = std::min(R, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
 }
 
 }  // extern "C"

@@ -3,23 +3,31 @@
 Why a kernel: the pure-XLA traversal (ops/bvh.py) is a *global* lock-step
 while-loop whose per-iteration cost is two HBM gathers over every ray — TPU
 gathers are slow and the loop runs until the single worst ray finishes.
-This kernel replaces per-ray stacks with the classic *packet* scheme mapped
-onto the TPU's SIMD shape: one ray block (BLOCK_ROWS x 128 rays) per grid
-step shares ONE scalar stack in SMEM; each iteration pops one node id
-(scalar), reads its record from a VMEM-resident table (scalar-indexed row
-load, no gather), and tests the four child slabs / four leaf triangles
-against the whole block on the VPU. Blocks exit their while-loop as soon as
-*their* rays are done (per-block early-out instead of global).
+This kernel maps the classic *packet* scheme onto the TPU's SIMD shape: one
+ray block (BLOCK_ROWS x 128 rays) per grid step shares scalar traversal
+stacks in SMEM; each pop reads one record row from a VMEM-resident table
+(scalar-indexed row load, no gather) and tests it against the whole block on
+the VPU. Blocks exit their while-loop as soon as *their* rays are done.
 
-VMEM layout: Mosaic pads the minor dim to 128 lanes, so records are packed
-into full 128-lane rows to avoid 4x padding waste (which OOMs scoped VMEM):
-  nodes  (ceil(N/4), 128) f32 — 4 nodes/row, 32 floats each:
-         24 slab floats + 4 child refs stored as exact f32 values + 4 pad
-  leaves (ceil(L/3), 128) f32 — 3 leaves/row, 40 floats each:
-         4 triangles x 9 coords + 4 triangle ids as f32 (exact below 2^24)
-Child ref encoding matches ops/bvh.py: >=0 internal, <=-2 leaf -(ref+2),
--1 empty. Sub-row extraction is a lax.switch over static lane slices (no
-dynamic lane indexing, no bitcasts in the hot loop).
+Round-3 redesign (profiled on a v5e: the old kernel spent ~55% of each
+iteration on scalar pop/branch/lax.switch overhead and popped one node per
+iteration):
+  - records are stored ONE PER 128-lane ROW (nodes (N,128), leaves (L,128)),
+    so a pop is a single dynamic row slice — no lax.switch sub-row extract;
+  - internal nodes and leaves live on SEPARATE SMEM stacks; each while-loop
+    iteration performs POPS(=2) pops, each pop taking a leaf if any is
+    pending else an internal node (leaf-priority drains the leaf stack and
+    shrinks best_t early, and bounds the leaf stack to ~4*POPS entries);
+  - best t/tri/u/v live in the output VMEM refs and are mutated in place;
+    the while-loop carry is two scalars (isp, lsp), so lax.cond branches
+    move no vector state;
+  - leaves hold LEAF_SIZE=8 triangles (halves leaf pops; the 8 extra
+    Moller-Trumbore lanes ride the same VPU op).
+
+VMEM layout: nodes (N, 128) f32 — 24 slab floats + 4 child refs stored as
+exact f32 values + pad. leaves (L, 128) f32 — LS triangles x 9 coords + LS
+triangle ids as f32 (exact below 2^24) + pad. Child ref encoding matches
+ops/bvh.py: >=0 internal, <=-2 leaf -(ref+2), -1 empty.
 
 Semantics are identical to ops/bvh.py::_traverse_impl (same slab test with
 the reference's 1.00000024 tmax inflation, yocto_geometry.h:842-868; same
@@ -45,50 +53,43 @@ from ..core.vecmath import FLT_MAX, RAY_EPS
 
 LANES = 128
 BLOCK_ROWS = 16          # 16 x 128 = 2048 rays per packet
-STACK_DEPTH = 96
+ISTACK_DEPTH = 96        # internal-node stack
+LSTACK_DEPTH = 96        # leaf stack (leaf-priority keeps it shallow)
+POPS = 2                 # record pops per while-loop iteration
 RESIDENT_BYTES = 10 * 1024 * 1024  # VMEM-resident BVH budget
 NEG_INF = float(np.float32(-np.inf))
-NODES_PER_ROW = 4        # 32 floats per node
-LEAVES_PER_ROW = 3       # 40 floats per leaf (LS=4 triangles)
 
 
 class PallasBvh(NamedTuple):
-    nodes: jnp.ndarray   # (ceil(N/4), 128) f32 packed node records
-    leaves: jnp.ndarray  # (ceil(L/3), 128) f32 packed leaf records
+    nodes: jnp.ndarray   # (N, 128) f32, one node record per row
+    leaves: jnp.ndarray  # (L, 128) f32, one leaf record per row
     root: jnp.ndarray    # () i32
 
 
 def from_bvh_arrays(bvh) -> PallasBvh:
-    """Pack ops/bvh.py's (N,32)/(L,40) records into full 128-lane rows,
-    converting the bit-cast int refs/ids to exact float values."""
+    """Unpack ops/bvh.py's (N,32)/(L,LS*10) records into one-record-per-row
+    128-lane tables, converting bit-cast int refs/ids to exact float values."""
     node_rec = np.asarray(bvh.node_rec).copy()
     leaf_rec = np.asarray(bvh.leaf_rec).copy()
     ls = leaf_rec.shape[1] // 10
-    assert ls == 4, "packed layout assumes LEAF_SIZE == 4"
-    # child refs / tri ids: stored as int bits -> store as float values
+    assert ls * 10 <= LANES, f"leaf size {ls} does not fit a 128-lane row"
     node_rec[:, 24:28] = node_rec[:, 24:28].view(np.int32).astype(np.float32)
-    leaf_rec[:, ls * 9:] = leaf_rec[:, ls * 9:].view(np.int32).astype(
-        np.float32)
+    ids = leaf_rec[:, ls * 9:].view(np.int32)
+    assert ids.max(initial=0) < (1 << 24), "triangle ids exceed f32 exactness"
+    leaf_rec[:, ls * 9:] = ids.astype(np.float32)
     N, L = node_rec.shape[0], leaf_rec.shape[0]
-    nrows = -(-N // NODES_PER_ROW)
-    lrows = -(-L // LEAVES_PER_ROW)
-    nodes = np.zeros((nrows, LANES), np.float32)
-    node_pad = np.zeros((nrows * NODES_PER_ROW, 32), np.float32)
-    node_pad[:N] = node_rec
-    nodes[:] = node_pad.reshape(nrows, NODES_PER_ROW * 32)
-    leaves = np.full((lrows, LANES), -1.0, np.float32)
-    leaf_pad = np.full((lrows * LEAVES_PER_ROW, 40), -1.0, np.float32)
-    leaf_pad[:L] = leaf_rec
-    leaves[:, : LEAVES_PER_ROW * 40] = leaf_pad.reshape(
-        lrows, LEAVES_PER_ROW * 40)
+    nodes = np.zeros((N, LANES), np.float32)
+    nodes[:, :32] = node_rec
+    leaves = np.full((L, LANES), -1.0, np.float32)
+    leaves[:, : ls * 10] = leaf_rec
     return PallasBvh(nodes=nodes, leaves=leaves, root=np.int32(bvh.root))
 
 
 def _kernel(root_ref, nodes_ref, leaves_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, tri_out, u_out, v_out, stack_ref,
+            t_out, tri_out, u_out, v_out, istack_ref, lstack_ref,
             nrow_scratch, lrow_scratch, nsem, lsem,
-            tmin: float, resident: bool):
+            tmin: float, resident: bool, ls: int):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     sd = lambda x: jnp.where(jnp.abs(x) < 1e-12,
@@ -97,30 +98,84 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
     tmax = tmax_ref[:]
     any_live = jnp.any(tmax > tmin)
 
+    t_out[:] = tmax
+    tri_out[:] = jnp.full_like(tmax, -1).astype(jnp.int32)
+    u_out[:] = tmax * 0.0
+    v_out[:] = tmax * 0.0
+
     root = root_ref[0]
-    stack_ref[0] = jnp.where(any_live, root, -1)
-    zero_i = jnp.zeros_like(tmax, jnp.int32)
+    root_int = root >= 0
+    istack_ref[0] = root
+    lstack_ref[0] = -root - 2
+    isp0 = jnp.where(any_live & root_int, 1, 0).astype(jnp.int32)
+    lsp0 = jnp.where(any_live & ~root_int, 1, 0).astype(jnp.int32)
 
-    def cond(c):
-        return c[0] > 0
-
-    def internal(ref, sp, best_t, best_tri, best_u, best_v):
-        # --- internal node: 4 slab tests over the whole packet ---------
+    def node_row(ref):
         if resident:
-            nrow = nodes_ref[pl.ds(ref // NODES_PER_ROW, 1), :]  # (1, 128)
-        else:
-            # BVH larger than VMEM: tables live in HBM, fetch one row
-            cp = pltpu.make_async_copy(
-                nodes_ref.at[pl.ds(ref // NODES_PER_ROW, 1), :],
-                nrow_scratch, nsem)
-            cp.start()
-            cp.wait()
-            nrow = nrow_scratch[:]
-        rec_2d = jax.lax.switch(
-            ref % NODES_PER_ROW,
-            [lambda r=nrow, j=j: jax.lax.slice(r, (0, j * 32), (1, j * 32 + 32))
-             for j in range(NODES_PER_ROW)])
+            return nodes_ref[pl.ds(ref, 1), :]  # (1, 128)
+        cp = pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(ref, 1), :], nrow_scratch, nsem)
+        cp.start()
+        cp.wait()
+        return nrow_scratch[:]
+
+    def leaf_row(lidx):
+        if resident:
+            return leaves_ref[pl.ds(lidx, 1), :]
+        cp = pltpu.make_async_copy(
+            leaves_ref.at[pl.ds(lidx, 1), :], lrow_scratch, lsem)
+        cp.start()
+        cp.wait()
+        return lrow_scratch[:]
+
+    def pop_leaf(isp, lsp):
+        lidx = lstack_ref[lsp - 1]
+        lrec_2d = leaf_row(lidx)
+        lrec = lambda i: lrec_2d[0, i]
+        best_t = t_out[:]
+        best_tri, best_u, best_v = tri_out[:], u_out[:], v_out[:]
+        for k in range(ls):
+            b = k * 9
+            p0x, p0y, p0z = lrec(b), lrec(b + 1), lrec(b + 2)
+            e1x = lrec(b + 3) - p0x
+            e1y = lrec(b + 4) - p0y
+            e1z = lrec(b + 5) - p0z
+            e2x = lrec(b + 6) - p0x
+            e2y = lrec(b + 7) - p0y
+            e2z = lrec(b + 8) - p0z
+            tid = lrec(ls * 9 + k).astype(jnp.int32)
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv = 1.0 / jnp.where(det != 0, det, 1.0)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+            hit_k = (
+                (tid >= 0) & (det != 0)
+                & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+                & (tt >= tmin) & (tt <= best_t))
+            best_t = jnp.where(hit_k, tt, best_t)
+            best_tri = jnp.where(hit_k, tid, best_tri)
+            best_u = jnp.where(hit_k, u, best_u)
+            best_v = jnp.where(hit_k, v, best_v)
+        t_out[:] = best_t
+        tri_out[:] = best_tri
+        u_out[:] = best_u
+        v_out[:] = best_v
+        return isp, lsp - 1
+
+    def pop_internal(isp, lsp):
+        ref = istack_ref[isp - 1]
+        isp = isp - 1
+        rec_2d = node_row(ref)
         rec = lambda i: rec_2d[0, i]
+        best_t = t_out[:]
         tn_s, ref_s = [], []
         for k in range(4):
             b = k * 6
@@ -143,7 +198,7 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             tn_s.append(jnp.where(any_k, tn_k, NEG_INF))
             ref_s.append(jnp.where(any_k, kid, -1))
 
-        # sort children far-to-near (descending key => nearest popped last)
+        # sort children far-to-near (descending key => nearest popped first)
         def cswap(i, j):
             swap = tn_s[i] < tn_s[j]
             tn_s[i], tn_s[j] = (jnp.where(swap, tn_s[j], tn_s[i]),
@@ -154,84 +209,44 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
         cswap(0, 1); cswap(2, 3); cswap(0, 2); cswap(1, 3); cswap(1, 2)
 
         for k in range(4):
-            do_push = ref_s[k] != -1
+            kid = ref_s[k]
+            is_int = kid >= 0
 
-            @pl.when(do_push)
-            def _(k=k, sp=sp):
-                stack_ref[sp] = ref_s[k]
+            @pl.when(kid != -1)
+            def _(kid=kid, is_int=is_int, isp=isp, lsp=lsp):
+                @pl.when(is_int)
+                def _():
+                    istack_ref[isp] = kid
 
-            sp = sp + do_push.astype(jnp.int32)
-        return sp, best_t, best_tri, best_u, best_v
+                @pl.when(~is_int)
+                def _():
+                    lstack_ref[lsp] = -kid - 2
 
-    def leaf(ref, sp, best_t, best_tri, best_u, best_v):
-        # --- leaf: 4 triangle tests over the whole packet ---------------
-        lidx = -ref - 2
-        if resident:
-            lrow = leaves_ref[pl.ds(lidx // LEAVES_PER_ROW, 1), :]  # (1, 128)
-        else:
-            cp = pltpu.make_async_copy(
-                leaves_ref.at[pl.ds(lidx // LEAVES_PER_ROW, 1), :],
-                lrow_scratch, lsem)
-            cp.start()
-            cp.wait()
-            lrow = lrow_scratch[:]
-        lrec_2d = jax.lax.switch(
-            lidx % LEAVES_PER_ROW,
-            [lambda r=lrow, j=j: jax.lax.slice(r, (0, j * 40), (1, j * 40 + 40))
-             for j in range(LEAVES_PER_ROW)])
-        lrec = lambda i: lrec_2d[0, i]
-        for k in range(4):
-            b = k * 9
-            p0x, p0y, p0z = lrec(b), lrec(b + 1), lrec(b + 2)
-            e1x = lrec(b + 3) - p0x
-            e1y = lrec(b + 4) - p0y
-            e1z = lrec(b + 5) - p0z
-            e2x = lrec(b + 6) - p0x
-            e2y = lrec(b + 7) - p0y
-            e2z = lrec(b + 8) - p0z
-            tid = lrec(36 + k).astype(jnp.int32)
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv = 1.0 / jnp.where(det != 0, det, 1.0)
-            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-            hit_k = (
-                (tid >= 0) & (det != 0)
-                & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                & (tt >= tmin) & (tt <= best_t))
-            best_t = jnp.where(hit_k, tt, best_t)
-            best_tri = jnp.where(hit_k, tid, best_tri)
-            best_u = jnp.where(hit_k, u, best_u)
-            best_v = jnp.where(hit_k, v, best_v)
-        return sp, best_t, best_tri, best_u, best_v
+            isp = isp + (is_int & (kid != -1)).astype(jnp.int32)
+            lsp = lsp + ((~is_int) & (kid != -1)).astype(jnp.int32)
+        return isp, lsp
+
+    def one_pop(isp, lsp):
+        # leaf-priority: drains lstack (bounds its depth) and shrinks best_t
+        # as early as possible for slab pruning
+        branch = jnp.where(lsp > 0, 2, jnp.where(isp > 0, 1, 0))
+        return jax.lax.switch(
+            branch, [lambda i, l: (i, l), pop_internal, pop_leaf], isp, lsp)
 
     def body(c):
-        sp, best_t, best_tri, best_u, best_v = c
-        ref = stack_ref[sp - 1]
-        sp = sp - 1
-        # real scalar branch: leaves skip the slab tests, internals skip the
-        # triangle tests (~2x less VPU work than fully-masked execution)
-        return jax.lax.cond(ref >= 0, internal, leaf,
-                            ref, sp, best_t, best_tri, best_u, best_v)
+        isp, lsp = c
+        for _ in range(POPS):
+            isp, lsp = one_pop(isp, lsp)
+        return isp, lsp
 
-    sp0 = jnp.where(any_live, 1, 0).astype(jnp.int32)
-    _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
-        cond, body, (sp0, tmax, zero_i - 1, tmax * 0.0, tmax * 0.0))
-    t_out[:] = best_t
-    tri_out[:] = best_tri
-    u_out[:] = best_u
-    v_out[:] = best_v
+    def cond(c):
+        return c[0] + c[1] > 0
+
+    jax.lax.while_loop(cond, body, (isp0, lsp0))
 
 
 def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
-                          interpret: bool = False,
+                          ls: int, interpret: bool = False,
                           block_rows: int = BLOCK_ROWS):
     R = ray_o.shape[0]
     block = block_rows * LANES
@@ -250,10 +265,10 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
     # small BVHs live wholly in VMEM (fast scalar-indexed row loads); BVHs
     # that would blow the ~16MB scoped-VMEM budget stay in HBM and each
     # popped row is DMA'd into a 1-row scratch (512B per pop, amortized
-    # over the 2048-ray packet)
+    # over the packet)
     resident = (bvh.nodes.size + bvh.leaves.size) * 4 <= RESIDENT_BYTES
 
-    bvh_space = pltpu.VMEM if resident else pltpu.ANY
+    bvh_space = pltpu.VMEM if resident else pl.ANY
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=bvh_space)
     rblk = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
@@ -262,7 +277,7 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
     ishape = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
 
     t, tri, u, v = pl.pallas_call(
-        partial(_kernel, tmin=float(tmin), resident=resident),
+        partial(_kernel, tmin=float(tmin), resident=resident, ls=ls),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # root
@@ -272,7 +287,8 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
         out_specs=(rblk, rblk, rblk, rblk),
         out_shape=(shape, ishape, shape, shape),
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((ISTACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((LSTACK_DEPTH,), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.float32),
             pltpu.VMEM((1, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -286,17 +302,17 @@ def _traverse_pallas_impl(bvh: PallasBvh, ray_o, ray_d, tmax, tmin: float,
     return flat(t), flat(tri), flat(u), flat(v)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _traverse_pallas(bvh, ray_o, ray_d, tmax, tmin, interpret):
-    return _traverse_pallas_impl(bvh, ray_o, ray_d, tmax, tmin, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _traverse_pallas(bvh, ray_o, ray_d, tmax, tmin, ls, interpret):
+    return _traverse_pallas_impl(bvh, ray_o, ray_d, tmax, tmin, ls, interpret)
 
 
-def _fwd(bvh, ray_o, ray_d, tmax, tmin, interpret):
-    out = _traverse_pallas_impl(bvh, ray_o, ray_d, tmax, tmin, interpret)
+def _fwd(bvh, ray_o, ray_d, tmax, tmin, ls, interpret):
+    out = _traverse_pallas_impl(bvh, ray_o, ray_d, tmax, tmin, ls, interpret)
     return out, (jax.tree.map(jnp.shape, bvh), ray_o.shape, tmax.shape)
 
 
-def _bwd(tmin, interpret, res, g):
+def _bwd(tmin, ls, interpret, res, g):
     bvh_shapes, ray_shape, tmax_shape = res
     zero_bvh = PallasBvh(
         nodes=jnp.zeros(bvh_shapes.nodes, jnp.float32),
@@ -312,8 +328,16 @@ _traverse_pallas.defvjp(_fwd, _bwd)
 
 
 def intersect_bvh_pallas(bvh: PallasBvh, ray_o, ray_d, tmax=None,
-                         tmin=RAY_EPS, alive=None, interpret=False):
-    """Drop-in replacement for ops.bvh.intersect_bvh on the Pallas path."""
+                         tmin=RAY_EPS, alive=None, interpret=False,
+                         ls: int | None = None):
+    """Drop-in replacement for ops.bvh.intersect_bvh on the Pallas path.
+
+    ls: triangles per leaf record (static). Defaults to ops.bvh.LEAF_SIZE —
+    pass explicitly when the tree was built with a non-default leaf size."""
+    from .bvh import LEAF_SIZE
+
+    if ls is None:
+        ls = LEAF_SIZE
     R = ray_o.shape[0]
     if tmax is None:
         tmax = jnp.full((R,), FLT_MAX, jnp.float32)
@@ -321,7 +345,7 @@ def intersect_bvh_pallas(bvh: PallasBvh, ray_o, ray_d, tmax=None,
     if alive is not None:
         tmax = jnp.where(alive, tmax, NEG_INF)
     best_t, best_tri, best_u, best_v = _traverse_pallas(
-        bvh, ray_o, ray_d, tmax, float(tmin), bool(interpret))
+        bvh, ray_o, ray_d, tmax, float(tmin), int(ls), bool(interpret))
     hit = best_tri >= 0
     return {
         "hit": hit,
