@@ -199,3 +199,246 @@ LightSource "infinite" "rgb L" [0.6 0.6 0.6]
         shader="eyelight", samples=1, resolution=24, bounces=2),
         devices=1).render(samples=1, chunk=1)
     assert np.isfinite(img).all() and img[..., :3].max() > 0.01
+
+
+def test_json_scene_save_load_roundtrip(tmp_path):
+    """load -> save -> load must reproduce the same flattened scene
+    (save_json_scene parity with yocto_sceneio.cpp:3868; shapes round-trip
+    through our PLY writer, textures through PNG/HDR)."""
+    import numpy as np
+
+    from vpt_tpu.scene.flatten import flatten_scene
+    from vpt_tpu.scene.json_io import load_json_scene
+    from vpt_tpu.scene.json_save import save_json_scene
+
+    s1 = load_json_scene("/root/reference/tests/03_volume/volume.json")
+    out = tmp_path / "resaved" / "scene.json"
+    out.parent.mkdir()
+    save_json_scene(str(out), s1)
+    s2 = load_json_scene(str(out))
+    assert len(s2.shapes) == len(s1.shapes)
+    assert len(s2.materials) == len(s1.materials)
+    assert len(s2.textures) == len(s1.textures)
+    a1 = flatten_scene(s1)
+    a2 = flatten_scene(s2)
+    assert np.allclose(a1.tri_pos, a2.tri_pos)
+    assert np.array_equal(a1.mat_type, a2.mat_type)
+    assert np.allclose(a1.mat_color, a2.mat_color, atol=1e-6)
+    # HDR sky texture survives an RGBE re-encode to ~1% (shared-exponent
+    # quantization); LDR PNGs round-trip exactly
+    for t1, t2 in zip(s1.textures, s2.textures):
+        assert t1.linear == t2.linear
+        if t1.linear:
+            denom = np.maximum(np.abs(t1.pixels[..., :3]), 1e-3)
+            rel = np.abs(t1.pixels[..., :3] - t2.pixels[..., :3]) / denom
+            assert rel.max() < 0.02
+        else:
+            assert np.allclose(t1.pixels, t2.pixels, atol=1 / 255 + 1e-6)
+
+
+def test_save_shape_formats(tmp_path):
+    import numpy as np
+
+    from vpt_tpu.scene.json_save import save_shape
+    from vpt_tpu.scene.ply import load_ply
+    from vpt_tpu.scene.obj import load_obj_shape
+    from vpt_tpu.scene.stl import load_stl
+
+    r = np.random.RandomState(0)
+    shape = {
+        "positions": r.rand(12, 3).astype(np.float32),
+        "normals": r.rand(12, 3).astype(np.float32),
+        "texcoords": r.rand(12, 2).astype(np.float32),
+        "triangles": r.randint(0, 12, (7, 3)).astype(np.int32),
+        "quads": None, "colors": None, "radius": None,
+    }
+    save_shape(str(tmp_path / "s.ply"), shape)
+    back = load_ply(str(tmp_path / "s.ply"))
+    assert np.allclose(back["positions"], shape["positions"])
+    assert np.allclose(back["normals"], shape["normals"])
+    assert np.allclose(back["texcoords"], shape["texcoords"])
+    assert np.array_equal(back["triangles"], shape["triangles"])
+
+    save_shape(str(tmp_path / "s.obj"), shape)
+    back = load_obj_shape(str(tmp_path / "s.obj"))
+    # OBJ round-trips through a face-varying split (degenerate quads),
+    # so compare the corner geometry, not the indexing
+    if back.get("quads") is not None:
+        faces = back["positions"][back["quads"][:, :3]]
+    else:
+        faces = back["positions"][back["triangles"]]
+    want = shape["positions"][shape["triangles"]]
+    order = np.lexsort(faces.reshape(7, -1).T)
+    worder = np.lexsort(want.reshape(7, -1).T)
+    assert np.allclose(faces[order], want[worder], atol=1e-6)
+
+    save_shape(str(tmp_path / "s.stl"), shape)
+    back = load_stl(str(tmp_path / "s.stl"))
+    assert back["triangles"].shape[0] == 7
+
+
+def test_save_shape_lines_points_roundtrip(tmp_path):
+    import numpy as np
+
+    from vpt_tpu.scene.json_save import save_shape
+    from vpt_tpu.scene.ply import load_ply
+
+    r = np.random.RandomState(1)
+    shape = {
+        "positions": r.rand(10, 3).astype(np.float32),
+        "radius": np.full(10, 0.01, np.float32),
+        "lines": np.array([[0, 1], [1, 2], [5, 6]], np.int32),
+        "points": np.array([7, 8, 9], np.int32),
+    }
+    save_shape(str(tmp_path / "l.ply"), shape)
+    back = load_ply(str(tmp_path / "l.ply"))
+    assert np.array_equal(back["lines"], shape["lines"])
+    assert np.array_equal(back["points"], shape["points"])
+    assert np.allclose(back["radius"], shape["radius"])
+
+
+def _write_minimal_assets(d):
+    import numpy as np
+
+    from vpt_tpu.scene import image_io
+    from vpt_tpu.scene.ply import save_ply
+
+    (d / "shapes").mkdir(parents=True, exist_ok=True)
+    (d / "textures").mkdir(parents=True, exist_ok=True)
+    tri = {
+        "positions": np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        "triangles": np.array([[0, 1, 2]], np.int32),
+    }
+    save_ply(str(d / "shapes" / "tri.ply"), tri)
+    image_io.save_png(str(d / "textures" / "tex.png"),
+                      np.full((4, 4, 4), 0.5, np.float32))
+
+
+def test_legacy_json_40(tmp_path):
+    """No-version JSON: name-keyed groups, string refs, legacy material
+    names (metallic->reflective, volume->volumetric), lookat frames
+    (yocto_sceneio.cpp load_json_scene_version40)."""
+    import json
+
+    import numpy as np
+
+    from vpt_tpu.scene.json_io import load_json_scene
+    from vpt_tpu.scene.schema import MATERIAL_TYPES
+
+    _write_minimal_assets(tmp_path)
+    doc = {
+        "cameras": {"cam": {"lookat": [[0, 0, 5], [0, 0, 0], [0, 1, 0]]}},
+        "materials": {
+            "metal": {"type": "metallic", "color": [0.7, 0.7, 0.7]},
+            "smoke": {"type": "volume", "color": [0.5, 0.5, 0.5]},
+        },
+        "instances": {
+            "obj1": {"shape": "tri", "material": "metal"},
+            "obj2": {"shape": "tri", "material": "smoke",
+                     "frame": [1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 2, 0]},
+        },
+        "environments": {"env": {"emission": [1, 1, 1],
+                                 "emission_tex": "tex"}},
+    }
+    (tmp_path / "scene.json").write_text(json.dumps(doc))
+    s = load_json_scene(str(tmp_path / "scene.json"))
+    assert len(s.cameras) == 1
+    assert abs(s.cameras[0].focus - 5.0) < 1e-6
+    assert MATERIAL_TYPES[s.materials[0].type] == "reflective"
+    assert MATERIAL_TYPES[s.materials[1].type] == "volumetric"
+    assert len(s.instances) == 2
+    assert s.instances[0].shape == s.instances[1].shape  # shared by name
+    assert np.allclose(s.instances[1].frame[3], [0, 2, 0])
+    assert s.environments[0].emission_tex == 0
+    assert s.textures[0].width == 4
+    assert s.shapes[0].triangles.shape == (1, 3)
+
+
+def test_legacy_json_41(tmp_path):
+    import json
+
+    from vpt_tpu.scene.json_io import load_json_scene
+    from vpt_tpu.scene.schema import MATERIAL_TYPES
+
+    _write_minimal_assets(tmp_path)
+    doc = {
+        "asset": {"version": "4.1"},
+        "cameras": {"cam": {"lens": 0.1}},
+        "textures": {"tex": {"datafile": "textures/tex.png"}},
+        "materials": {
+            "m": {"type": "reflective", "color": [1, 1, 1],
+                  "color_tex": "tex"},
+        },
+        "shapes": {"tri": {"datafile": "shapes/tri.ply"}},
+        "instances": {"i": {"shape": "tri", "material": "m"}},
+    }
+    (tmp_path / "scene.json").write_text(json.dumps(doc))
+    s = load_json_scene(str(tmp_path / "scene.json"))
+    assert MATERIAL_TYPES[s.materials[0].type] == "reflective"
+    assert s.materials[0].color_tex == 0
+    assert s.cameras[0].lens == 0.1
+    assert s.shapes[0].positions.shape == (3, 3)
+
+
+def test_legacy_json_40_ply_instances(tmp_path):
+    """PLY instance replication: an 'instance' element with xx..oz frames
+    multiplies the referencing instance (yocto_sceneio.cpp:3245-3280)."""
+    import json
+
+    import numpy as np
+
+    from vpt_tpu.scene.json_io import load_json_scene
+
+    _write_minimal_assets(tmp_path)
+    (tmp_path / "instances").mkdir()
+    frames = np.zeros((3, 12), np.float32)
+    frames[:, [0, 4, 8]] = 1.0  # identity rotations
+    frames[:, 9] = [0.0, 1.0, 2.0]  # ox offsets
+    names = ["xx", "xy", "xz", "yx", "yy", "yz", "zx", "zy", "zz",
+             "ox", "oy", "oz"]
+    hdr = ["ply", "format binary_little_endian 1.0", "element instance 3"]
+    hdr += [f"property float {n}" for n in names] + ["end_header", ""]
+    with open(tmp_path / "instances" / "grid.ply", "wb") as f:
+        f.write("\n".join(hdr).encode() + frames.astype("<f4").tobytes())
+    doc = {
+        "materials": {"m": {"type": "matte", "color": [1, 0, 0]}},
+        "objects": {"o": {"shape": "tri", "material": "m",
+                          "instance": "grid"}},
+    }
+    (tmp_path / "scene.json").write_text(json.dumps(doc))
+    s = load_json_scene(str(tmp_path / "scene.json"))
+    assert len(s.instances) == 3
+    assert np.allclose([i.frame[3][0] for i in s.instances], [0, 1, 2])
+
+
+def test_jpeg_texture_load(tmp_path):
+    import numpy as np
+
+    from vpt_tpu.scene.image_io import load_image
+    from vpt_tpu.scene.jpeg import save_jpeg
+
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[:, :12] = [200, 50, 30]
+    img[:, 12:] = [20, 180, 240]
+    save_jpeg(str(tmp_path / "t.jpg"), img, quality=95)
+    px, linear = load_image(str(tmp_path / "t.jpg"))
+    assert px.shape == (16, 24, 4) and not linear
+    assert np.abs(px[:, :6, :3] * 255 - img[:, :6]).mean() < 6.0
+
+
+def test_tga_bmp_texture_load(tmp_path):
+    import numpy as np
+
+    from vpt_tpu.scene import image_io
+
+    r = np.random.RandomState(0)
+    img = r.rand(9, 13, 4).astype(np.float32)
+    u8 = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    image_io.save_tga(str(tmp_path / "t.tga"), img)
+    px, linear = image_io.load_image(str(tmp_path / "t.tga"))
+    assert not linear and np.allclose(px * 255, u8, atol=0.51)
+    image_io.save_bmp(str(tmp_path / "t.bmp"), img)
+    px, linear = image_io.load_image(str(tmp_path / "t.bmp"))
+    assert not linear
+    assert np.allclose(px[..., :3] * 255, u8[..., :3], atol=0.51)

@@ -123,32 +123,21 @@ struct Builder {
     return start + (end - start) / 2;
   }
 
-  int32_t emit(int64_t start, int64_t end, int depth) {
-    int64_t count = end - start;
-    if (count <= LS || depth > 40) {
-      int64_t li = n_leaves++;
-      float* lr = leaf_rec + li * (LS * 10);
-      std::vector<int32_t> ids(LS, -1);
-      std::memset(lr, 0, LS * 9 * sizeof(float));
-      int64_t n = std::min<int64_t>(count, LS);
-      for (int64_t k = 0; k < n; ++k) {
-        std::memcpy(lr + k * 9, tp + perm[start + k] * 9, 9 * sizeof(float));
-        ids[k] = int32_t(start + k);
-      }
-      std::memcpy(lr + LS * 9, ids.data(), LS * sizeof(int32_t));
-      return int32_t(-li - 2);
+  int32_t make_leaf(int64_t start, int64_t count) {
+    int64_t li = n_leaves++;
+    float* lr = leaf_rec + li * (LS * 10);
+    std::vector<int32_t> ids(LS, -1);
+    std::memset(lr, 0, LS * 9 * sizeof(float));
+    int64_t n = std::min<int64_t>(count, LS);
+    for (int64_t k = 0; k < n; ++k) {
+      std::memcpy(lr + k * 9, tp + perm[start + k] * 9, 9 * sizeof(float));
+      ids[k] = int32_t(start + k);
     }
-    int64_t mid = split2(start, end);
-    int64_t q1 = split2(start, mid);
-    int64_t q3 = split2(mid, end);
-    int64_t my = n_nodes++;
-    int64_t ranges[4][2] = {{start, q1}, {q1, mid}, {mid, q3}, {q3, end}};
-    int32_t refs[4];
-    for (int k = 0; k < 4; ++k)
-      refs[k] = ranges[k][1] > ranges[k][0]
-                    ? emit(ranges[k][0], ranges[k][1], depth + 1)
-                    : -1;
-    float* nr = node_rec + my * 32;
+    std::memcpy(lr + LS * 9, ids.data(), LS * sizeof(int32_t));
+    return int32_t(-li - 2);
+  }
+
+  void node_bounds(float* nr, int64_t ranges[4][2]) {
     for (int k = 0; k < 4; ++k) {
       float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
       for (int64_t i = ranges[k][0]; i < ranges[k][1]; ++i) {
@@ -164,6 +153,43 @@ struct Builder {
         nr[k * 6 + 3 + a] = hi[a];
       }
     }
+  }
+
+  int32_t emit(int64_t start, int64_t end, int depth) {
+    int64_t count = end - start;
+    if (count <= LS || depth > 40) return make_leaf(start, count);
+    if (count <= 4 * LS) {
+      // pack FULL leaves: one sort along the widest axis, then chunk into
+      // ceil(count/LS) consecutive leaves under one node (the naive 4-way
+      // median split would leave leaves ~1/4 full)
+      split2(start, end);
+      int64_t my = n_nodes++;
+      int64_t ranges[4][2];
+      int32_t refs[4];
+      for (int k = 0; k < 4; ++k) {
+        ranges[k][0] = std::min(start + k * LS, end);
+        ranges[k][1] = std::min(start + (k + 1) * LS, end);
+        refs[k] = ranges[k][1] > ranges[k][0]
+                      ? make_leaf(ranges[k][0], ranges[k][1] - ranges[k][0])
+                      : -1;
+      }
+      float* nr = node_rec + my * 32;
+      node_bounds(nr, ranges);
+      std::memcpy(nr + 24, refs, 4 * sizeof(int32_t));
+      return int32_t(my);
+    }
+    int64_t mid = split2(start, end);
+    int64_t q1 = split2(start, mid);
+    int64_t q3 = split2(mid, end);
+    int64_t my = n_nodes++;
+    int64_t ranges[4][2] = {{start, q1}, {q1, mid}, {mid, q3}, {q3, end}};
+    int32_t refs[4];
+    for (int k = 0; k < 4; ++k)
+      refs[k] = ranges[k][1] > ranges[k][0]
+                    ? emit(ranges[k][0], ranges[k][1], depth + 1)
+                    : -1;
+    float* nr = node_rec + my * 32;
+    node_bounds(nr, ranges);
     std::memcpy(nr + 24, refs, 4 * sizeof(int32_t));
     return int32_t(my);
   }

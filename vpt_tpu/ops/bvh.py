@@ -99,6 +99,25 @@ def build_bvh(tri_pos: np.ndarray, leaf_size: int = LEAF_SIZE):
         if count <= LS or depth > 40:
             leaf_meta.append((start, min(count, LS)))
             return -(len(leaf_meta) - 1) - 2
+        if count <= 4 * LS:
+            # pack FULL leaves: one sort along the widest axis, then chunk
+            # into ceil(count/LS) consecutive leaves under one node. The
+            # naive 4-way median split would stop at ~count/4 triangles per
+            # leaf (whole levels of 1/4-full leaves).
+            split2(start, end)
+            my = len(nodes)
+            nodes.append(None)
+            ranges = [(min(start + k * LS, end), min(start + (k + 1) * LS, end))
+                      for k in range(4)]
+            refs = []
+            for s, e in ranges:
+                if e > s:
+                    leaf_meta.append((s, e - s))
+                    refs.append(-(len(leaf_meta) - 1) - 2)
+                else:
+                    refs.append(-1)
+            nodes[my] = (refs, ranges)
+            return my
         mid = split2(start, end)
         q1 = split2(start, mid)
         q3 = split2(mid, end)

@@ -228,10 +228,14 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
 
     def one_pop(isp, lsp):
         # leaf-priority: drains lstack (bounds its depth) and shrinks best_t
-        # as early as possible for slab pruning
-        branch = jnp.where(lsp > 0, 2, jnp.where(isp > 0, 1, 0))
-        return jax.lax.switch(
-            branch, [lambda i, l: (i, l), pop_internal, pop_leaf], isp, lsp)
+        # as early as possible for slab pruning. Nested scalar lax.cond —
+        # Mosaic lowers these to real branches (a 3-way lax.switch was
+        # measured to cost both bodies every pop).
+        def int_or_done(isp, lsp):
+            return jax.lax.cond(
+                isp > 0, pop_internal, lambda i, l: (i, l), isp, lsp)
+
+        return jax.lax.cond(lsp > 0, pop_leaf, int_or_done, isp, lsp)
 
     def body(c):
         isp, lsp = c

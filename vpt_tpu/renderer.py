@@ -246,12 +246,20 @@ def save_render(path: str, img_linear: np.ndarray, exposure: float = 0.0,
         from .scene import exr
 
         exr.save_exr(path, img_linear.astype(np.float32))
-    elif path.lower().endswith(".png") or path.lower().endswith((".jpg", ".jpeg")):
+    elif path.lower().endswith((".png", ".jpg", ".jpeg", ".tga", ".bmp")):
         rgba = np.asarray(_tonemap(
             jnp.asarray(img_linear), exposure=exposure, filmic=filmic))
         rgba = np.concatenate(
             [rgba[..., :3], np.clip(rgba[..., 3:], 0, 1)], axis=-1)
-        out = path if path.lower().endswith(".png") else path + ".png"
-        image_io.save_png(out, rgba)
+        if path.lower().endswith(".png"):
+            image_io.save_png(path, rgba)
+        elif path.lower().endswith((".jpg", ".jpeg")):
+            from .scene.jpeg import save_jpeg
+
+            save_jpeg(path, (rgba[..., :3] * 255 + 0.5).astype(np.uint8))
+        elif path.lower().endswith(".tga"):
+            image_io.save_tga(path, rgba)
+        else:
+            image_io.save_bmp(path, rgba)
     else:
         raise ValueError(f"unsupported output format: {path}")

@@ -254,18 +254,166 @@ def save_hdr(path: str, img: np.ndarray):
 # dispatch helpers
 # ---------------------------------------------------------------------------
 
+def load_tga(path: str):
+    """TARGA loader: types 1 (indexed), 2 (truecolor), 3 (gray), and their
+    RLE variants 9/10/11; 8/16/24/32-bit pixels; origin bits honored.
+    Returns (H, W, C) float32 in [0, 1]. (Reference loads tga via
+    stb_image, yocto_sceneio.cpp:411-470.)"""
+    with open(path, "rb") as f:
+        data = f.read()
+    (idlen, cmap_type, img_type, cmap_first, cmap_len, cmap_bits,
+     x0, y0, w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", data[:18])
+    off = 18 + idlen
+    cmap = None
+    if cmap_type == 1:
+        cbytes = (cmap_bits + 7) // 8
+        raw = np.frombuffer(data, np.uint8, cmap_len * cbytes, off)
+        cmap = raw.reshape(cmap_len, cbytes)
+        off += cmap_len * cbytes
+    nb = (bpp + 7) // 8
+    count = w * h
+    base = img_type & 7
+    if img_type & 8:  # RLE
+        out = np.empty((count, nb), np.uint8)
+        i = off
+        n = 0
+        while n < count:
+            hdr = data[i]
+            i += 1
+            ln = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                px = np.frombuffer(data, np.uint8, nb, i)
+                i += nb
+                out[n:n + ln] = px
+            else:
+                px = np.frombuffer(data, np.uint8, nb * ln, i)
+                i += nb * ln
+                out[n:n + ln] = px.reshape(ln, nb)
+            n += ln
+        pix = out
+    else:
+        pix = np.frombuffer(data, np.uint8, count * nb, off).reshape(count, nb)
+    if base == 1:  # color-mapped
+        pix = cmap[pix[:, 0].astype(np.int64) - cmap_first]
+        nb = pix.shape[1]
+    if nb == 1:
+        img = np.repeat(pix, 3, axis=1).astype(np.float32) / 255.0
+    elif nb == 2:  # 5551 little-endian
+        v = pix[:, 0].astype(np.uint16) | (pix[:, 1].astype(np.uint16) << 8)
+        r = ((v >> 10) & 31) / 31.0
+        g = ((v >> 5) & 31) / 31.0
+        b = (v & 31) / 31.0
+        img = np.stack([r, g, b], axis=1).astype(np.float32)
+    else:  # BGR(A)
+        img = pix[:, [2, 1, 0] + ([3] if nb == 4 else [])].astype(
+            np.float32) / 255.0
+    img = img.reshape(h, w, -1)
+    if not (desc & 0x20):  # bottom-up origin
+        img = img[::-1]
+    if desc & 0x10:  # right-to-left
+        img = img[:, ::-1]
+    return np.ascontiguousarray(img)
+
+
+def save_tga(path: str, img):
+    """Uncompressed truecolor (type 2) bottom-up TGA; img float [0,1] or u8,
+    3 or 4 channels."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    if c == 1:
+        arr = np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+        c = 3
+    bgr = arr[..., [2, 1, 0] + ([3] if c == 4 else [])]
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h,
+                      8 * c, 8 if c == 4 else 0)
+    with open(path, "wb") as f:
+        f.write(hdr + np.ascontiguousarray(bgr[::-1]).tobytes())
+
+
+def load_bmp(path: str):
+    """Windows BMP (BITMAPINFOHEADER+, uncompressed 8/24/32-bit, and
+    BI_BITFIELDS 32-bit) -> (H, W, C) float32 in [0, 1]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"BM":
+        raise ValueError(f"{path}: not a BMP")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    comp = struct.unpack("<I", data[30:34])[0] if hdr_size >= 20 else 0
+    if comp not in (0, 3):
+        raise ValueError(f"{path}: unsupported BMP compression {comp}")
+    flip = h > 0
+    h = abs(h)
+    if bpp == 8:
+        ncol = struct.unpack("<I", data[46:50])[0] or 256
+        pal = np.frombuffer(data, np.uint8, ncol * 4, 14 + hdr_size)
+        pal = pal.reshape(ncol, 4)[:, [2, 1, 0]]
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, stride * h, pix_off)
+        idx = rows.reshape(h, stride)[:, :w]
+        img = pal[idx].astype(np.float32) / 255.0
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, stride * h, pix_off)
+        px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        img = px[..., [2, 1, 0] + ([3] if nb == 4 else [])].astype(
+            np.float32) / 255.0
+    else:
+        raise ValueError(f"{path}: unsupported BMP bpp {bpp}")
+    if flip:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def save_bmp(path: str, img):
+    """24-bit uncompressed bottom-up BMP (alpha dropped)."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=-1)
+    bgr = arr[..., [2, 1, 0]]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = bgr[::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    with open(path, "wb") as f:
+        f.write(hdr + body)
+
+
 def load_image(path: str):
     """Returns (pixels (H,W,4) float32, linear flag)."""
     lower = path.lower()
-    if lower.endswith(".png"):
-        img = load_png(path)
+
+    def rgba(img):
         if img.shape[-1] == 1:
             img = np.repeat(img, 3, axis=-1)
         if img.shape[-1] == 2:
             img = np.concatenate([np.repeat(img[..., :1], 3, -1), img[..., 1:]], -1)
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
-        return img.astype(np.float32), False
+        return img.astype(np.float32)
+
+    if lower.endswith(".png"):
+        return rgba(load_png(path)), False
+    if lower.endswith((".jpg", ".jpeg")):
+        from .jpeg import load_jpeg
+
+        return rgba(load_jpeg(path)), False
+    if lower.endswith(".tga"):
+        return rgba(load_tga(path)), False
+    if lower.endswith(".bmp"):
+        return rgba(load_bmp(path)), False
     if lower.endswith(".hdr") or lower.endswith(".pic"):
         img = load_hdr(path)
         img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)

@@ -268,3 +268,210 @@ def load_jpeg(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         img = decode_jpeg(f.read())
     return img.astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG encoder (the save side of this codec; reference writes jpg
+# via stb_image_write, yocto_sceneio.cpp:509-560). Sequential 4:4:4, standard
+# Annex-K quantization (quality-scaled, libjpeg rule) and Huffman tables.
+# ---------------------------------------------------------------------------
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], np.float64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], np.float64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_HUFF_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_HUFF_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_HUFF_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _huff_codes(bits, vals):
+    """value -> (code, length) map from a (bits, values) table."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int):
+    """JPEG magnitude category + offset bits for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    bits = v if v > 0 else v + (1 << n) - 1
+    return n, bits
+
+
+def encode_jpeg(rgb_u8: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (H, W, 3) uint8 sRGB as a baseline 4:4:4 JFIF JPEG."""
+    img = np.asarray(rgb_u8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    H, W = img.shape[:2]
+    # libjpeg quality scaling
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    qluma = np.clip((_Q_LUMA * scale + 50) // 100, 1, 255)
+    qchroma = np.clip((_Q_CHROMA * scale + 50) // 100, 1, 255)
+
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    Hp, Wp = -(-H // 8) * 8, -(-W // 8) * 8
+    planes = []
+    for p in (y, cb, cr):
+        pp = np.pad(p, ((0, Hp - H), (0, Wp - W)), mode="edge")
+        planes.append(pp)
+
+    # blocked forward DCT: (nby, nbx, 8, 8) = C^T X C with the IDCT basis _C
+    def fdct_blocks(p):
+        blocks = p.reshape(Hp // 8, 8, Wp // 8, 8).transpose(0, 2, 1, 3)
+        return np.einsum("xi,abxy,yj->abij", _C, blocks, _C)
+
+    coeffs = [fdct_blocks(p) for p in planes]
+    qtabs = [qluma, qchroma, qchroma]
+    dc_codes = [_huff_codes(*_HUFF_DC_L), _huff_codes(*_HUFF_DC_C),
+                _huff_codes(*_HUFF_DC_C)]
+    ac_codes = [_huff_codes(*_HUFF_AC_L), _huff_codes(*_HUFF_AC_C),
+                _huff_codes(*_HUFF_AC_C)]
+
+    # quantize + zigzag all blocks up front (vectorized)
+    zz = [None] * 3
+    for ci in range(3):
+        qc = np.round(coeffs[ci] / qtabs[ci].reshape(8, 8)).astype(np.int32)
+        zz[ci] = qc.reshape(-1, 64)[:, ZIGZAG]
+
+    bw = _BitWriter()
+    nby, nbx = Hp // 8, Wp // 8
+    prev_dc = [0, 0, 0]
+    for bi in range(nby * nbx):
+        for ci in range(3):
+            blk = zz[ci][bi]
+            dc = int(blk[0])
+            diff = dc - prev_dc[ci]
+            prev_dc[ci] = dc
+            n, bits = _magnitude(diff)
+            code, ln = dc_codes[ci][n]
+            bw.put(code, ln)
+            if n:
+                bw.put(bits, n)
+            run = 0
+            last_nz = int(np.max(np.nonzero(blk)[0])) if blk.any() else 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = ac_codes[ci][0x00]  # EOB
+                        bw.put(code, ln)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_codes[ci][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run = 0
+                    continue
+                n, bits = _magnitude(v)
+                code, ln = ac_codes[ci][(run << 4) | n]
+                bw.put(code, ln)
+                bw.put(bits, n)
+                run = 0
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(qluma.astype(np.uint8)[ZIGZAG]))
+    out += seg(0xFFDB, bytes([1]) + bytes(qchroma.astype(np.uint8)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, H, W, 3)
+    for cid, (hs, vs), tq in ((1, (1, 1), 0), (2, (1, 1), 1), (3, (1, 1), 1)):
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += seg(0xFFC0, sof)
+    for tc_th, (bits, vals) in ((0x00, _HUFF_DC_L), (0x01, _HUFF_DC_C),
+                                (0x10, _HUFF_AC_L), (0x11, _HUFF_AC_C)):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def save_jpeg(path: str, rgb_u8: np.ndarray, quality: int = 90) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_jpeg(rgb_u8, quality))

@@ -1,0 +1,312 @@
+"""JSON scene saver (yocto format v4.2) — the save side of json_io.py.
+
+Mirrors the reference save_json_scene (/root/reference/libs/yocto/
+yocto_sceneio.cpp:3868-4100): the scene JSON goes to <path>, shapes to
+shapes/<name>.ply, textures to textures/<name>.{png|hdr}, subdivs to
+subdivs/<name>.obj, and (our volumetric extension, matching the author's
+load-side schema, yocto_sceneio.cpp:3654-3778) volumes to
+volumes/<name>.sdf. Values equal to the schema defaults are omitted, like
+the reference's set_val. Round-trip is tested in tests/test_sceneio.py:
+load -> save -> load yields the same flattened scene arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import image_io, schema
+from .obj import save_obj_shape
+from .ply import save_ply
+from .volume_io import save_sdf_volume
+
+IDENTITY = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32)
+
+
+def _set(el: dict, key, value, default=None):
+    if isinstance(value, np.ndarray):
+        if default is not None and np.array_equal(value, default):
+            return
+        el[key] = [float(x) for x in np.asarray(value).reshape(-1)]
+        return
+    if isinstance(value, (np.floating, np.integer)):
+        value = value.item()
+    if value == default:
+        return
+    el[key] = value
+
+
+def _set_ref(el: dict, key, value):
+    if value is not None and int(value) >= 0:
+        el[key] = int(value)
+
+
+def _name(obj, prefix, idx):
+    return obj.name if getattr(obj, "name", "") else f"{prefix}{idx}"
+
+
+def _shape_dict(s) -> dict:
+    return {
+        "positions": s.positions,
+        "normals": s.normals,
+        "texcoords": s.texcoords,
+        "colors": s.colors,
+        "radius": s.radius,
+        "triangles": s.triangles,
+        "quads": s.quads,
+        "lines": s.lines,
+        "points": s.points,
+    }
+
+
+def save_shape(path: str, shape) -> None:
+    """save_shape parity (yocto_sceneio.cpp:1028): dispatch on extension.
+    `shape` is a schema.Shape or a shape dict."""
+    d = shape if isinstance(shape, dict) else _shape_dict(shape)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
+        save_ply(path, d)
+    elif ext == ".obj":
+        save_obj_shape(path, d)
+    elif ext == ".stl":
+        from .obj import quads_to_triangles
+        from .stl import save_stl
+
+        tris = d.get("triangles")
+        if tris is None or len(tris) == 0:
+            quads = d.get("quads")
+            if quads is None or len(quads) == 0:
+                raise ValueError(f"{path}: empty shape")
+            tris = quads_to_triangles(quads)
+        save_stl(path, d["positions"], tris)
+    else:
+        raise ValueError(f"unsupported shape format: {path}")
+
+
+def save_texture(path: str, tex) -> None:
+    """PNG for sRGB byte textures, HDR for linear float (reference
+    save_texture, yocto_sceneio.cpp:509-560 via stb)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".png":
+        img = np.clip(np.asarray(tex.pixels, np.float32), 0.0, 1.0)
+        image_io.save_png(path, img)
+    elif ext in (".hdr", ".pic"):
+        image_io.save_hdr(path, np.asarray(tex.pixels, np.float32)[..., :3])
+    elif ext in (".jpg", ".jpeg"):
+        from .jpeg import save_jpeg
+
+        img = np.clip(np.asarray(tex.pixels, np.float32), 0.0, 1.0)
+        save_jpeg(path, (img[..., :3] * 255 + 0.5).astype(np.uint8))
+    else:
+        raise ValueError(f"unsupported texture format: {path}")
+
+
+def save_json_scene(path: str, scene) -> None:
+    dirname = os.path.dirname(path) or "."
+    doc = {"asset": {"generator": "vpt_tpu", "version": "4.2"}}
+    if scene.copyright:
+        doc["asset"]["copyright"] = scene.copyright
+
+    if scene.cameras:
+        doc["cameras"] = group = []
+        for i, c in enumerate(scene.cameras):
+            el = {}
+            _set(el, "name", _name(c, "camera", i), "")
+            _set(el, "frame", c.frame, IDENTITY)
+            _set(el, "orthographic", bool(c.orthographic), False)
+            _set(el, "lens", float(c.lens), 0.050)
+            _set(el, "aspect", float(c.aspect), 1.5)
+            _set(el, "film", float(c.film), 0.036)
+            _set(el, "focus", float(c.focus), 10000.0)
+            _set(el, "aperture", float(c.aperture), 0.0)
+            group.append(el)
+
+    tex_uris = []
+    if scene.textures:
+        doc["textures"] = group = []
+        for i, t in enumerate(scene.textures):
+            name = _name(t, "texture", i)
+            uri = f"textures/{name}" + (".hdr" if t.linear else ".png")
+            tex_uris.append(uri)
+            group.append({"name": name, "uri": uri})
+
+    zero3 = np.zeros(3, np.float32)
+    if scene.materials:
+        doc["materials"] = group = []
+        for i, m in enumerate(scene.materials):
+            el = {}
+            _set(el, "name", _name(m, "material", i), "")
+            _set(el, "type", schema.MATERIAL_TYPES[m.type], "matte")
+            _set(el, "emission", np.asarray(m.emission, np.float32), zero3)
+            _set(el, "color", np.asarray(m.color, np.float32), zero3)
+            _set(el, "metallic", float(m.metallic), 0.0)
+            _set(el, "roughness", float(m.roughness), 0.0)
+            _set(el, "ior", float(m.ior), 1.5)
+            _set(el, "trdepth", float(m.trdepth), 0.01)
+            _set(el, "scattering", np.asarray(m.scattering, np.float32), zero3)
+            _set(el, "scanisotropy", float(m.scanisotropy), 0.0)
+            _set(el, "opacity", float(m.opacity), 1.0)
+            _set_ref(el, "emission_tex", m.emission_tex)
+            _set_ref(el, "color_tex", m.color_tex)
+            _set_ref(el, "roughness_tex", m.roughness_tex)
+            _set_ref(el, "scattering_tex", m.scattering_tex)
+            _set_ref(el, "normal_tex", m.normal_tex)
+            group.append(el)
+
+    shape_uris = []
+    if scene.shapes:
+        doc["shapes"] = group = []
+        for i, s in enumerate(scene.shapes):
+            name = _name(s, "shape", i)
+            uri = f"shapes/{name}.ply"
+            shape_uris.append(uri)
+            group.append({"name": name, "uri": uri})
+
+    vol_uris = []
+    if scene.volumes:
+        doc["volumes"] = group = []
+        for i, v in enumerate(scene.volumes):
+            name = _name(v, "volume", i)
+            uri = f"volumes/{name}.sdf"
+            vol_uris.append(uri)
+            group.append({"name": name, "uri": uri})
+
+    if scene.sdfs:
+        doc["sdfunctions"] = group = []
+        for i, s in enumerate(scene.sdfs):
+            el = {}
+            _set(el, "name", _name(s, "sdf", i), "")
+            stype = schema.SDF_TYPES[s.type]
+            el["type"] = stype
+            if stype == "bbox":
+                _set(el, "whd", np.asarray(s.params[:3], np.float32))
+                _set(el, "thickness", float(s.params[3]))
+            elif stype == "box":
+                _set(el, "whd", np.asarray(s.params[:3], np.float32))
+            elif stype == "capped_cone":
+                _set(el, "height", float(s.params[0]))
+                _set(el, "r1", float(s.params[1]))
+                _set(el, "r2", float(s.params[2]))
+            elif stype == "sphere":
+                _set(el, "radius", float(s.params[0]))
+            elif stype == "torus":
+                _set(el, "r1", float(s.params[0]))
+                _set(el, "r2", float(s.params[1]))
+            _set(el, "frame", s.frame, IDENTITY)
+            _set_ref(el, "material", s.material)
+            group.append(el)
+
+    subdiv_uris = []
+    if scene.subdivs:
+        doc["subdivs"] = group = []
+        for i, sd in enumerate(scene.subdivs):
+            name = _name(sd, "subdiv", i)
+            uri = f"subdivs/{name}.obj"
+            subdiv_uris.append(uri)
+            el = {"name": name, "uri": uri}
+            _set_ref(el, "shape", sd.shape)
+            _set(el, "subdivisions", int(sd.subdivisions), 0)
+            _set(el, "catmullclark", bool(sd.catmullclark), True)
+            _set(el, "smooth", bool(sd.smooth), True)
+            _set(el, "displacement", float(sd.displacement), 0.0)
+            _set_ref(el, "displacement_tex", sd.displacement_tex)
+            group.append(el)
+
+    if scene.instances:
+        doc["instances"] = group = []
+        for i, inst in enumerate(scene.instances):
+            el = {}
+            _set(el, "name", _name(inst, "instance", i), "")
+            _set(el, "frame", inst.frame, IDENTITY)
+            _set_ref(el, "shape", inst.shape)
+            _set_ref(el, "material", inst.material)
+            group.append(el)
+
+    if scene.vol_instances:
+        doc["vol_instances"] = group = []
+        for i, vi in enumerate(scene.vol_instances):
+            el = {}
+            _set(el, "name", _name(vi, "vol_instance", i), "")
+            _set(el, "frame", vi.frame, IDENTITY)
+            _set_ref(el, "volume", vi.volume)
+            _set_ref(el, "material", vi.material)
+            _set(el, "scale", float(vi.scalef), 1.0)
+            group.append(el)
+
+    if scene.environments:
+        doc["environments"] = group = []
+        for i, e in enumerate(scene.environments):
+            el = {}
+            _set(el, "name", _name(e, "environment", i), "")
+            _set(el, "frame", e.frame, IDENTITY)
+            _set(el, "emission", np.asarray(e.emission, np.float32), zero3)
+            _set_ref(el, "emission_tex", e.emission_tex)
+            group.append(el)
+
+    # write resources
+    for sub in ("shapes", "textures", "subdivs", "volumes"):
+        if doc.get(sub):
+            os.makedirs(os.path.join(dirname, sub), exist_ok=True)
+    for uri, s in zip(shape_uris, scene.shapes):
+        save_shape(os.path.join(dirname, uri), s)
+    for uri, t in zip(tex_uris, scene.textures):
+        save_texture(os.path.join(dirname, uri), t)
+    for uri, v in zip(vol_uris, scene.volumes):
+        save_sdf_volume(os.path.join(dirname, uri), v.whd, v.values, v.res)
+    for uri, sd in zip(subdiv_uris, scene.subdivs):
+        _save_subdiv_obj(os.path.join(dirname, uri), sd)
+
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+
+
+def _save_subdiv_obj(path: str, sd) -> None:
+    """Face-varying OBJ: separate f v/vt/vn index triples per corner
+    (reference save_subdiv -> save_fvshape, yocto_sceneio.cpp:1146)."""
+    out = []
+    for p in np.asarray(sd.positions, np.float32):
+        out.append(f"v {p[0]:.8g} {p[1]:.8g} {p[2]:.8g}")
+    has_t = sd.texcoords is not None and sd.quadstexcoord is not None
+    has_n = sd.normals is not None and sd.quadsnorm is not None
+    if has_t:
+        for t in np.asarray(sd.texcoords, np.float32):
+            out.append(f"vt {t[0]:.8g} {t[1]:.8g}")
+    if has_n:
+        for n in np.asarray(sd.normals, np.float32):
+            out.append(f"vn {n[0]:.8g} {n[1]:.8g} {n[2]:.8g}")
+    qp = np.asarray(sd.quadspos, np.int64)
+    qt = np.asarray(sd.quadstexcoord, np.int64) if has_t else None
+    qn = np.asarray(sd.quadsnorm, np.int64) if has_n else None
+    for fi in range(qp.shape[0]):
+        corners = []
+        # degenerate quads (q.z == q.w) are written as triangles
+        idxs = range(3) if qp[fi, 2] == qp[fi, 3] else range(4)
+        for c in idxs:
+            s = str(qp[fi, c] + 1)
+            if has_t and has_n:
+                s += f"/{qt[fi, c] + 1}/{qn[fi, c] + 1}"
+            elif has_t:
+                s += f"/{qt[fi, c] + 1}"
+            elif has_n:
+                s += f"//{qn[fi, c] + 1}"
+            corners.append(s)
+        out.append("f " + " ".join(corners))
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def save_scene(path: str, scene) -> None:
+    """save_scene dispatch (yocto_sceneio.cpp:2697-2736). JSON saves the
+    full scene; PLY/OBJ/STL save the first shape only (reference parity:
+    'saves only one mesh with no other data')."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        save_json_scene(path, scene)
+    elif ext in (".ply", ".obj", ".stl"):
+        if not scene.shapes:
+            raise ValueError(f"{path}: scene has no shapes")
+        save_shape(path, scene.shapes[0])
+    else:
+        raise ValueError(f"unsupported scene format: {path}")

@@ -158,6 +158,45 @@ def load_obj_shape(path: str):
     }
 
 
+def save_obj_shape(path: str, shape: dict):
+    """Write a shape dict as Wavefront OBJ (reference save_shape OBJ branch,
+    yocto_sceneio.cpp:1048-1062): v/vn/vt records then f/l/p records with
+    1-based shared indices (same index for pos/uv/normal)."""
+    pos = np.asarray(shape["positions"], np.float32)
+    has_n = shape.get("normals") is not None
+    has_t = shape.get("texcoords") is not None
+    out = []
+    for p in pos:
+        out.append(f"v {p[0]:.8g} {p[1]:.8g} {p[2]:.8g}")
+    if has_t:
+        for t in np.asarray(shape["texcoords"], np.float32):
+            out.append(f"vt {t[0]:.8g} {t[1]:.8g}")
+    if has_n:
+        for n in np.asarray(shape["normals"], np.float32):
+            out.append(f"vn {n[0]:.8g} {n[1]:.8g} {n[2]:.8g}")
+
+    def vref(i):
+        i = int(i) + 1
+        if has_t and has_n:
+            return f"{i}/{i}/{i}"
+        if has_t:
+            return f"{i}/{i}"
+        if has_n:
+            return f"{i}//{i}"
+        return str(i)
+
+    for key, rec in (("triangles", "f"), ("quads", "f"), ("lines", "l"),
+                     ("points", "p")):
+        idx = shape.get(key)
+        if idx is None or len(idx) == 0:
+            continue
+        idx = np.asarray(idx, np.int64).reshape(len(idx), -1)
+        for row in idx:
+            out.append(rec + " " + " ".join(vref(i) for i in row))
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
 def quads_to_triangles(quads: np.ndarray) -> np.ndarray:
     """yocto quads_to_triangles (yocto_shape.h:596): (x,y,w) + (z,w,y); skip the
     second for degenerate quads (z == w)."""

@@ -102,6 +102,7 @@ def load_ply(path: str):
     out = {}
     vert_arrays = {}
     faces = None
+    lines = points = None
     if fmt in ("binary_little_endian", "binary_big_endian"):
         endian = "<" if fmt == "binary_little_endian" else ">"
         offset = body
@@ -111,6 +112,10 @@ def load_ply(path: str):
                 vert_arrays = {n: np.asarray(arr[n]) for n, _ in elem.properties}
             elif elem.name == "face":
                 faces = arr
+            elif elem.name == "line" and "indices" in arr:
+                lines = arr["indices"].astype(np.int32)
+            elif elem.name == "point" and "indices" in arr:
+                points = arr["indices"].astype(np.int32).reshape(-1)
     elif fmt == "ascii":
         text = data[body:].decode("ascii").split()
         pos = 0
@@ -165,6 +170,10 @@ def load_ply(path: str):
     else:
         out["colors"] = None
     out["radius"] = vert_arrays.get("radius")
+    if lines is not None:
+        out["lines"] = lines
+    if points is not None:
+        out["points"] = points
 
     out["triangles"] = None
     out["quads"] = None
@@ -190,3 +199,105 @@ def load_ply(path: str):
             if quads:
                 out["quads"] = np.array(quads, dtype=np.int32)
     return out
+
+
+def load_ply_frames(path: str) -> list:
+    """Instance frames from a PLY 'instance' element with properties
+    xx xy xz yx yy yz zx zy zz ox oy oz (reference load_instance,
+    yocto_sceneio.cpp:2790-2808). Returns a list of (4,3) float32 frames."""
+    with open(path, "rb") as f:
+        data = f.read()
+    fmt, elements, body = _parse_header(data)
+    names = ["xx", "xy", "xz", "yx", "yy", "yz", "zx", "zy", "zz",
+             "ox", "oy", "oz"]
+    for elem in elements:
+        if elem.name != "instance":
+            continue
+        if fmt.startswith("binary"):
+            endian = "<" if fmt == "binary_little_endian" else ">"
+            offset = body
+            for e2 in elements:
+                arr, offset = _read_binary_element(data, offset, e2, endian)
+                if e2.name == "instance":
+                    cols = {n: np.asarray(arr[n]) for n, _ in e2.properties}
+                    break
+        else:
+            text = data[body:].decode("ascii").split()
+            ncols = len(elem.properties)
+            vals = np.array(text[:elem.count * ncols], np.float64)
+            vals = vals.reshape(elem.count, ncols)
+            cols = {n: vals[:, i] for i, (n, _) in enumerate(elem.properties)}
+        mat = np.stack([cols[n] for n in names], axis=-1).astype(np.float32)
+        return [m.reshape(4, 3) for m in mat]
+    raise ValueError(f"{path}: no instance element")
+
+
+def save_ply(path: str, shape: dict):
+    """Write a shape dict (keys as returned by load_ply, plus optional
+    lines (L,2) / points (P,)) as binary_little_endian PLY. Mirrors the
+    reference save_shape PLY branch (yocto_sceneio.cpp:1028-1046): vertex
+    x/y/z [+nx/ny/nz] [+u/v] [+red..alpha] [+radius], faces as uchar-count
+    int lists (triangles and quads share the face element), lines as a
+    'line' element, points as a 'point' element."""
+    pos = np.asarray(shape["positions"], np.float32)
+    V = pos.shape[0]
+    cols = [("x", pos[:, 0]), ("y", pos[:, 1]), ("z", pos[:, 2])]
+    if shape.get("normals") is not None:
+        n = np.asarray(shape["normals"], np.float32)
+        cols += [("nx", n[:, 0]), ("ny", n[:, 1]), ("nz", n[:, 2])]
+    if shape.get("texcoords") is not None:
+        t = np.asarray(shape["texcoords"], np.float32)
+        cols += [("u", t[:, 0]), ("v", t[:, 1])]
+    if shape.get("colors") is not None:
+        c = np.asarray(shape["colors"], np.float32)
+        if c.shape[1] == 3:
+            c = np.concatenate([c, np.ones((V, 1), np.float32)], axis=1)
+        cols += [("red", c[:, 0]), ("green", c[:, 1]), ("blue", c[:, 2]),
+                 ("alpha", c[:, 3])]
+    if shape.get("radius") is not None:
+        cols += [("radius", np.asarray(shape["radius"], np.float32))]
+
+    tris = shape.get("triangles")
+    quads = shape.get("quads")
+    lines = shape.get("lines")
+    points = shape.get("points")
+    nfaces = (0 if tris is None else len(tris)) + (
+        0 if quads is None else len(quads))
+
+    hdr = ["ply", "format binary_little_endian 1.0",
+           "comment written by vpt_tpu",
+           f"element vertex {V}"]
+    hdr += [f"property float {name}" for name, _ in cols]
+    if nfaces:
+        hdr += [f"element face {nfaces}",
+                "property list uchar int vertex_indices"]
+    if lines is not None and len(lines):
+        hdr += [f"element line {len(lines)}",
+                "property list uchar int vertex_indices"]
+    if points is not None and len(points):
+        hdr += [f"element point {len(points)}",
+                "property list uchar int vertex_indices"]
+    hdr += ["end_header", ""]
+
+    parts = ["\n".join(hdr).encode("ascii")]
+    vert = np.stack([v.astype(np.float32) for _, v in cols], axis=-1)
+    parts.append(vert.astype("<f4").tobytes())
+
+    def list_block(idx, n):
+        idx = np.asarray(idx, np.int32).reshape(-1, n)
+        rec = np.zeros(idx.shape[0],
+                       np.dtype([("n", "u1"), ("v", "<i4", (n,))]))
+        rec["n"] = n
+        rec["v"] = idx
+        return rec.tobytes()
+
+    if tris is not None and len(tris):
+        parts.append(list_block(tris, 3))
+    if quads is not None and len(quads):
+        parts.append(list_block(quads, 4))
+    if lines is not None and len(lines):
+        parts.append(list_block(lines, 2))
+    if points is not None and len(points):
+        parts.append(list_block(np.asarray(points).reshape(-1, 1), 1))
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))

@@ -43,6 +43,20 @@ def load_scene(filename: str) -> HostScene:
     raise ValueError(f"{filename}: unknown scene format {ext!r}")
 
 
+def save_scene(filename: str, scene: HostScene) -> None:
+    """Extension dispatch, save side (yocto_sceneio.cpp:2697-2736)."""
+    from .json_save import save_scene as _save
+
+    _save(filename, scene)
+
+
+def save_shape(filename: str, shape) -> None:
+    """save_shape parity (yocto_sceneio.cpp:1028): PLY / OBJ / STL."""
+    from .json_save import save_shape as _save
+
+    _save(filename, shape)
+
+
 # ---------------------------------------------------------------------------
 # fixups (yocto_scene.cpp:661-680 add_camera; sceneio add_missing_*)
 # ---------------------------------------------------------------------------
