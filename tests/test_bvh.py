@@ -118,8 +118,11 @@ def test_pallas_packet_matches_xla_traversal(monkeypatch):
     assert np.array_equal(np.asarray(ref["tri"])[h], np.asarray(new["tri"])[h])
     np.testing.assert_allclose(
         np.asarray(ref["dist"])[h], np.asarray(new["dist"])[h], rtol=1e-6)
+    # uv tolerance: the two programs fuse the Moller-Trumbore dot products
+    # differently (FMA contraction), and with |o - p0| ~ 5 against ~5e-3
+    # edges the last-ulp difference in (o - p0) amplifies to ~1e-4 in uv
     np.testing.assert_allclose(
-        np.asarray(ref["uv"])[h], np.asarray(new["uv"])[h], rtol=1e-5, atol=1e-6)
+        np.asarray(ref["uv"])[h], np.asarray(new["uv"])[h], atol=5e-4)
 
 
 def test_native_cpu_traversal_matches_xla(monkeypatch):

@@ -68,6 +68,9 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_float,
             ctypes.c_void_p]
         lib.bvh_pdf_accum.restype = None
+        lib.alias_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.alias_build.restype = None
         _lib = lib
         return _lib
 
@@ -160,3 +163,17 @@ def bvh_pdf_accum(node_rec, leaf_rec, root, ray_o, ray_d, tmin):
         node_rec.ctypes.data, leaf_rec.ctypes.data, ls, int(root), R,
         o.ctypes.data, d.ctypes.data, float(tmin), out.ctypes.data)
     return out
+
+
+def alias_build(weights: np.ndarray):
+    """Walker/Vose alias table for a categorical distribution; returns
+    (alias_idx int32, cut float32) or None when unavailable."""
+    lib = _load() if _enabled() else None
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(weights, np.float32)
+    n = w.shape[0]
+    alias = np.empty(n, np.int32)
+    cut = np.empty(n, np.float32)
+    lib.alias_build(w.ctypes.data, n, alias.ctypes.data, cut.ctypes.data)
+    return alias, cut

@@ -451,4 +451,41 @@ void bvh_pdf_accum(const float* node_rec, const float* leaf_rec, int64_t ls,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Walker/Vose alias-table construction for O(1) categorical sampling on
+// device (replaces the 21-step searchsorted over the 2M-texel environment
+// CDF in sample_lights). Column i keeps itself with probability cut[i],
+// else redirects to alias[i]; the assignment reproduces the input
+// distribution exactly.
+// ---------------------------------------------------------------------------
+void alias_build(const float* w, int64_t n, int32_t* alias_out,
+                 float* cut_out) {
+  long double total = 0;
+  for (int64_t i = 0; i < n; ++i) total += w[i];
+  std::vector<double> p(n);
+  for (int64_t i = 0; i < n; ++i)
+    p[i] = total > 0 ? double(w[i]) * double(n) / double(total) : 1.0;
+  std::vector<int64_t> small, large;
+  small.reserve(n);
+  large.reserve(n);
+  for (int64_t i = 0; i < n; ++i) (p[i] < 1.0 ? small : large).push_back(i);
+  while (!small.empty() && !large.empty()) {
+    int64_t s = small.back();
+    small.pop_back();
+    int64_t l = large.back();
+    cut_out[s] = float(p[s]);
+    alias_out[s] = int32_t(l);
+    p[l] -= 1.0 - p[s];
+    if (p[l] < 1.0) {
+      large.pop_back();
+      small.push_back(l);
+    }
+  }
+  for (auto& rest : {small, large})
+    for (int64_t i : rest) {
+      cut_out[i] = 1.0f;
+      alias_out[i] = int32_t(i);
+    }
+}
+
 }  // extern "C"

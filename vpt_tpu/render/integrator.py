@@ -6,8 +6,13 @@ recursive per-ray megakernel (shade_volpathtrace,
 advance one bounce per step of a fixed-depth `lax.scan` carrying a
 struct-of-arrays bounce state. Per-bounce work (BVH intersect, material eval,
 BSDF/light sampling, MIS weights) is fully vectorized and branchless; dead
-rays are masked. The volume "stack" is a single slot + depth counter (no test
-scene nests volumes; nesting the same medium still works).
+rays are masked. The volume "stack" is a single slot + depth counter — this
+is EXACT parity, not an approximation: the reference's vstack is a
+std::vector but its update rule is `if (vstack.empty()) push_back(...) else
+pop_back()` (cpp:642-648), so entering a second volume while inside one POPS
+the first and the stack never exceeds depth 1. A nested-media scene rendered
+by the compiled reference binary confirms this (tests/test_golden.py
+nested-media row).
 
 Deviations from the reference, by design:
   - opacity passthrough consumes a bounce (the reference rewinds the bounce
@@ -66,7 +71,7 @@ def _u2(pixel_id, sample_id, bounce, k, seed):
 def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
                      naive: bool = False, seed: int = 1301081,
-                     mat_types=B.ALL_TYPES):
+                     mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS):
     """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
@@ -75,8 +80,13 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
     mat_types: static set of material-type codes present in the scene —
     BSDF dispatch skips absent lobes at trace time.
+    tex_slots: static set of texture-slot names any material actually binds
+    ("emission"/"color"/"roughness"/"scattering"/"normal") — unbound slots
+    skip their 4-tap gather into the texture atlas entirely (the atlas
+    gathers are among the most expensive ops in the step).
     """
     mat_types = frozenset(mat_types)
+    tex_slots = frozenset(tex_slots)
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         R = ray_o.shape[0]
@@ -139,8 +149,22 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             surf = alive & ~in_scatter
             outgoing = -st.ray_d
             position = SE.eval_hit_position(ds, isect, st.ray_o, st.ray_d)
-            normal = SE.eval_hit_shading_normal(ds, isect, outgoing)
-            mat = SE.eval_hit_material(ds, isect)
+            normal = SE.eval_hit_shading_normal(ds, isect, outgoing,
+                                                tex_slots=tex_slots)
+            mat = SE.eval_hit_material(ds, isect, tex_slots=tex_slots)
+
+            # exactly one of {surface shade, volume scatter} applies per ray,
+            # so the light-sampling machinery (env-CDF sample + pdf walk over
+            # all lights, the two most gather-heavy ops in the step) runs
+            # ONCE on merged positions/directions instead of per branch
+            if enable_volume:
+                vpos = st.ray_o + st.ray_d * t_dist[..., None]
+                light_pos = jnp.where(in_scatter[..., None], vpos, position)
+            else:
+                light_pos = position
+            if mis and not naive:
+                inc_light = sample_lights(ds, lights, light_pos, u(7), u(8),
+                                          u2(9))
 
             # opacity passthrough (deviation: consumes a bounce)
             passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
@@ -156,19 +180,31 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             # non-delta: 0.5 bsdf / 0.5 light one-sample MIS
             inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5), types=mat_types)
             if mis and not naive:
-                inc_light = sample_lights(ds, lights, position, u(7), u(8), u2(9))
                 use_bsdf = u(3) < 0.5
                 incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
-                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
-                pdf_l = sample_lights_pdf(ds, lights, position, incoming_nd)
+            else:
+                incoming_nd = inc_bsdf
+            pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
+
+            # volume scatter direction (needed now so the merged light pdf
+            # can cover both branches in one walk)
+            if enable_volume:
+                inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
+                incoming_v = jnp.where(
+                    (u(3) < 0.5)[..., None], inc_phase, inc_light)
+                light_dir = jnp.where(
+                    in_scatter[..., None], incoming_v, incoming_nd)
+            else:
+                light_dir = incoming_nd
+
+            if mis and not naive:
+                pdf_l = sample_lights_pdf(ds, lights, light_pos, light_dir)
                 denom = 0.5 * pdf_b + 0.5 * pdf_l
                 f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
                 w_nd = jnp.where(
                     (denom > 0)[..., None],
                     f_val / jnp.where(denom > 0, denom, 1.0)[..., None], 0.0)
             else:
-                incoming_nd = inc_bsdf
-                pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
                 f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
                 w_nd = jnp.where(
                     (pdf_b > 0)[..., None],
@@ -212,20 +248,16 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
             # ======== volume scattering branch (cpp:654-673) ========
             if enable_volume:
-                vpos = st.ray_o + st.ray_d * t_dist[..., None]
                 # eval_emission(vol, position, outgoing) quirk: "normal" is the
                 # position (cpp:660) — mirror exactly
                 vol_emit = jnp.where(
                     (dot(vpos, outgoing) >= 0.0)[..., None], st.vol_emission, 0.0)
                 radiance = jnp.where(
                     in_scatter[..., None], radiance + weight * vol_emit, radiance)
-                inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
-                inc_vlight = sample_lights(ds, lights, vpos, u(7), u(8), u2(9))
-                incoming_v = jnp.where(
-                    (u(3) < 0.5)[..., None], inc_phase, inc_vlight)
                 pdf_ph = V.sample_phasefunction_pdf(st.vol_scaniso, outgoing, incoming_v)
-                pdf_vl = sample_lights_pdf(ds, lights, vpos, incoming_v)
-                denom_v = 0.5 * pdf_ph + 0.5 * pdf_vl
+                # pdf_l was evaluated at (light_pos, light_dir) which equals
+                # (vpos, incoming_v) exactly for in_scatter rays
+                denom_v = 0.5 * pdf_ph + 0.5 * pdf_l
                 f_scat = V.eval_scattering(
                     st.vol_density, st.vol_scattering, st.vol_scaniso,
                     outgoing, incoming_v)

@@ -95,6 +95,17 @@ def build_lights_static(sa) -> list:
     return out
 
 
+def _alias_pick(ds, light, r, accept):
+    """O(1) categorical draw from light's alias table (core/alias.py):
+    r selects the column, `accept` decides keep-vs-redirect. Reproduces the
+    CDF's distribution exactly; replaces searchsorted over per-texel CDFs."""
+    n = light.cdf_hi - light.cdf_lo
+    i = jnp.clip((r * n).astype(jnp.int32), 0, n - 1)
+    cut = ds.light_alias_cut[light.cdf_lo + i]
+    ai = ds.light_alias_idx[light.cdf_lo + i]
+    return jnp.where(accept < cut, i, ai)
+
+
 def sample_lights(ds, lights, position, rl, rel, ruv):
     """Direction toward a uniformly-chosen light (cpp:312-350)."""
     L = len(lights)
@@ -105,19 +116,22 @@ def sample_lights(ds, lights, position, rl, rel, ruv):
     for k, light in enumerate(lights):
         sel = (lid == k)[..., None]
         if light.kind == KIND_INSTANCE:
-            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
-            elem = sample_discrete(cdf[None, :], rel)
+            # element draw: alias table keyed on rel, accept bit from the
+            # fractional part (element counts are small, so the ~10 mantissa
+            # bits left in the fraction are ample)
+            n = light.cdf_hi - light.cdf_lo
+            x = jnp.clip(rel * n, 0.0, n - 1e-4)
+            frac = x - jnp.floor(x)
+            elem = _alias_pick(ds, light, rel, frac)
             v = ds.light_tris[light.tri_lo + elem]
             uv = sample_triangle_uv(ruv)
             lpos = interpolate_triangle(v[..., 0, :], v[..., 1, :], v[..., 2, :], uv)
             d = normalize(lpos - position)
         elif light.kind == KIND_ENV and light.env_tex >= 0:
-            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
-            total = cdf[-1]
-            r = jnp.clip(rel * total, 0.0, total - 1e-5)
-            idx = jnp.clip(
-                jnp.searchsorted(cdf, r, side="right"), 0, cdf.shape[0] - 1
-            )
+            # texel draw over the (w*h)-entry luminance CDF: alias table;
+            # the accept uniform is ruv[...,0] (unused by this branch —
+            # rel*n at n~2M leaves too few fraction bits)
+            idx = _alias_pick(ds, light, rel, ruv[..., 0])
             w, h = light.env_w, light.env_h
             u = ((idx % w).astype(jnp.float32) + 0.5) / w
             vcoord = ((idx // w).astype(jnp.float32) + 0.5) / h

@@ -35,6 +35,11 @@ from ..ops.texture import eval_texture
 
 PIF = jnp.pi
 
+# texture-slot names a material can bind; integrators pass the statically
+# known subset for the scene so unbound slots skip their atlas gathers
+ALL_TEX_SLOTS = frozenset(
+    ("emission", "color", "roughness", "scattering", "normal"))
+
 
 def _tri_verts(ds, tri):
     v = ds.tri_pos[tri]  # (..., 3, 3)
@@ -91,71 +96,78 @@ def _triangle_tangents_fromuv(p0, p1, p2, uv0, uv1, uv2):
     return tu, tv
 
 
-def eval_shading_normal(ds, tri, uv, outgoing):
+def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
     """yocto_scene.cpp:476-503 for triangle shapes: vertex normal, normal map
     if present, refractive keeps orientation, others face-forward."""
     normal = eval_normal(ds, tri, uv)
     mat_id = ds.tri_mat[tri]
-    normal_tex = ds.mat_normal_tex[mat_id]
-    has_nm = normal_tex >= 0
+    if "normal" in tex_slots:
+        normal_tex = ds.mat_normal_tex[mat_id]
+        has_nm = normal_tex >= 0
 
-    texcoord = eval_texcoord(ds, tri, uv)
-    nm_rgba = eval_texture(
-        ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height, ds.tex_linear,
-        normal_tex, texcoord, as_linear=False,
-    )
-    normalmap = -1.0 + 2.0 * nm_rgba[..., :3]
-    p0, p1, p2 = _tri_verts(ds, tri)
-    vidx = ds.tri_vidx[tri]
-    tc = ds.vert_texcoord[vidx]
-    tu, tv = _triangle_tangents_fromuv(
-        p0, p1, p2, tc[..., 0, :], tc[..., 1, :], tc[..., 2, :]
-    )
-    fz = normal
-    fx = orthonormalize(tu, fz)
-    fy = normalize(cross(fz, fx))
-    flip_v = dot(fy, tv) < 0.0
-    nm_y = normalmap[..., 1] * jnp.where(flip_v, 1.0, -1.0)
-    nm = jnp.stack([normalmap[..., 0], nm_y, normalmap[..., 2]], axis=-1)
-    mapped = normalize(
-        nm[..., 0:1] * fx + nm[..., 1:2] * fy + nm[..., 2:3] * fz
-    )
-    normal = jnp.where(has_nm[..., None], mapped, normal)
+        texcoord = eval_texcoord(ds, tri, uv)
+        nm_rgba = eval_texture(
+            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+            ds.tex_linear, normal_tex, texcoord, as_linear=False,
+        )
+        normalmap = -1.0 + 2.0 * nm_rgba[..., :3]
+        p0, p1, p2 = _tri_verts(ds, tri)
+        vidx = ds.tri_vidx[tri]
+        tc = ds.vert_texcoord[vidx]
+        tu, tv = _triangle_tangents_fromuv(
+            p0, p1, p2, tc[..., 0, :], tc[..., 1, :], tc[..., 2, :]
+        )
+        fz = normal
+        fx = orthonormalize(tu, fz)
+        fy = normalize(cross(fz, fx))
+        flip_v = dot(fy, tv) < 0.0
+        nm_y = normalmap[..., 1] * jnp.where(flip_v, 1.0, -1.0)
+        nm = jnp.stack([normalmap[..., 0], nm_y, normalmap[..., 2]], axis=-1)
+        mapped = normalize(
+            nm[..., 0:1] * fx + nm[..., 1:2] * fy + nm[..., 2:3] * fz
+        )
+        normal = jnp.where(has_nm[..., None], mapped, normal)
 
     is_refr = ds.mat_type[mat_id] == REFRACTIVE
     forward = jnp.where((dot(normal, outgoing) >= 0.0)[..., None], normal, -normal)
     return jnp.where(is_refr[..., None], normal, forward)
 
 
-def eval_material(ds, tri, uv) -> MaterialPoint:
+def eval_material(ds, tri, uv, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     """yocto_scene.cpp:529-579 (textured variant)."""
     mat_id = ds.tri_mat[tri]
     texcoord = eval_texcoord(ds, tri, uv)
     color_shp = eval_color(ds, tri, uv)
-    return _material_from(ds, mat_id, texcoord, color_shp)
+    return _material_from(ds, mat_id, texcoord, color_shp, tex_slots)
 
 
-def _material_from(ds, mat_id, texcoord, color_shp) -> MaterialPoint:
-    def tex(tid, as_linear):
+def _material_from(ds, mat_id, texcoord, color_shp,
+                   tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
+    def tex(slot, tid, as_linear):
+        if slot not in tex_slots:  # static: no material binds this slot
+            return None
         return eval_texture(
             ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
             ds.tex_linear, tid, texcoord, as_linear=as_linear,
         )
 
-    emission_tex = tex(ds.mat_emission_tex[mat_id], True)
-    color_tex = tex(ds.mat_color_tex[mat_id], True)
-    roughness_tex = tex(ds.mat_roughness_tex[mat_id], False)
-    scattering_tex = tex(ds.mat_scattering_tex[mat_id], True)
+    emission_tex = tex("emission", ds.mat_emission_tex[mat_id], True)
+    color_tex = tex("color", ds.mat_color_tex[mat_id], True)
+    roughness_tex = tex("roughness", ds.mat_roughness_tex[mat_id], False)
+    scattering_tex = tex("scattering", ds.mat_scattering_tex[mat_id], True)
+
+    def mul(base, t, ch):
+        return base if t is None else base * t[..., ch]
 
     mtype = ds.mat_type[mat_id]
-    emission = ds.mat_emission[mat_id] * emission_tex[..., :3]
-    color = ds.mat_color[mat_id] * color_tex[..., :3] * color_shp[..., :3]
-    opacity = ds.mat_opacity[mat_id] * color_tex[..., 3] * color_shp[..., 3]
-    metallic = ds.mat_metallic[mat_id] * roughness_tex[..., 2]
-    roughness = ds.mat_roughness[mat_id] * roughness_tex[..., 1]
+    emission = mul(ds.mat_emission[mat_id], emission_tex, slice(0, 3))
+    color = mul(ds.mat_color[mat_id], color_tex, slice(0, 3)) * color_shp[..., :3]
+    opacity = mul(ds.mat_opacity[mat_id], color_tex, 3) * color_shp[..., 3]
+    metallic = mul(ds.mat_metallic[mat_id], roughness_tex, 2)
+    roughness = mul(ds.mat_roughness[mat_id], roughness_tex, 1)
     roughness = roughness * roughness
     ior = ds.mat_ior[mat_id]
-    scattering = ds.mat_scattering[mat_id] * scattering_tex[..., :3]
+    scattering = mul(ds.mat_scattering[mat_id], scattering_tex, slice(0, 3))
     scanisotropy = ds.mat_scanisotropy[mat_id]
     trdepth = ds.mat_trdepth[mat_id]
 
@@ -223,9 +235,9 @@ def eval_hit_position(ds, isect, ray_o, ray_d):
         lambda p: ds.point_p[p])
 
 
-def eval_hit_shading_normal(ds, isect, outgoing):
+def eval_hit_shading_normal(ds, isect, outgoing, tex_slots=ALL_TEX_SLOTS):
     tri = jnp.maximum(isect["tri"], 0)
-    n = eval_shading_normal(ds, tri, isect["uv"], outgoing)
+    n = eval_shading_normal(ds, tri, isect["uv"], outgoing, tex_slots)
     if not _has_lp(ds):
         return n
 
@@ -253,10 +265,10 @@ def eval_hit_texcoord(ds, isect):
         lambda p: ds.point_tc[p])
 
 
-def eval_hit_material(ds, isect) -> MaterialPoint:
+def eval_hit_material(ds, isect, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     tri = jnp.maximum(isect["tri"], 0)
     if not _has_lp(ds):
-        return eval_material(ds, tri, isect["uv"])
+        return eval_material(ds, tri, isect["uv"], tex_slots)
     s = isect["uv"][..., 0]
     mat_id = ds.tri_mat[tri]
     texcoord = eval_texcoord(ds, tri, isect["uv"])
@@ -277,7 +289,7 @@ def eval_hit_material(ds, isect) -> MaterialPoint:
         mat_id = jnp.where(sel, ds.point_mat[prim], mat_id)
         texcoord = jnp.where(sel[..., None], ds.point_tc[prim], texcoord)
         color_shp = jnp.where(sel[..., None], ds.point_col[prim], color_shp)
-    return _material_from(ds, mat_id, texcoord, color_shp)
+    return _material_from(ds, mat_id, texcoord, color_shp, tex_slots)
 
 
 def eval_environment(ds, direction, n_envs: int):

@@ -93,10 +93,20 @@ class Renderer:
 
             mat_types = frozenset(
                 int(t) for t in _np.unique(self.arrays.mat_type))
+            a = self.arrays
+            tex_slots = frozenset(
+                name for name, arr in (
+                    ("emission", a.mat_emission_tex),
+                    ("color", a.mat_color_tex),
+                    ("roughness", a.mat_roughness_tex),
+                    ("scattering", a.mat_scattering_tex),
+                    ("normal", a.mat_normal_tex),
+                ) if (_np.asarray(arr) >= 0).any())
             return make_path_shader(
                 self.lights, self.n_envs, bounces=p.bounces,
                 enable_volume=(s == "volpathtrace"), mis=(s != "naive"),
-                naive=(s == "naive"), seed=p.seed, mat_types=mat_types)
+                naive=(s == "naive"), seed=p.seed, mat_types=mat_types,
+                tex_slots=tex_slots)
         if s == "eyelight":
             return make_eyelight_shader(
                 self.lights, self.n_envs, bounces=p.bounces, seed=p.seed)

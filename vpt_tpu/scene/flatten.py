@@ -79,6 +79,8 @@ class SceneArrays(NamedTuple):
     light_cdf_count: np.ndarray   # (L,)
     light_total: np.ndarray       # (L,) cdf totals (area / luminance sum)
     light_cdf: np.ndarray         # (sum,) flattened inclusive prefix sums
+    light_alias_idx: np.ndarray   # (sum,) Walker alias redirect per entry
+    light_alias_cut: np.ndarray   # (sum,) keep-probability per entry
     light_tris: np.ndarray        # (LT, 3, 3) light triangle positions (orig order)
     light_tri_vidx: np.ndarray    # (LT, 3)
     light_tri_light: np.ndarray   # (LT,) owning light index
@@ -354,6 +356,21 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         np.concatenate([c for c in cdf_chunks if c is not None])
         if cdf_chunks else np.zeros(1, f32)
     )
+    # O(1) categorical sampling tables per CDF chunk (core/alias.py): two
+    # gathers on device replace the ~21-step searchsorted over the
+    # environment's multi-megatexel CDF
+    from ..core.alias import build_alias
+
+    alias_idx_chunks, alias_cut_chunks = [], []
+    for c in cdf_chunks:
+        w = np.diff(c, prepend=np.float32(0.0))
+        ai, cu = build_alias(w)
+        alias_idx_chunks.append(ai)
+        alias_cut_chunks.append(cu)
+    light_alias_idx = (np.concatenate(alias_idx_chunks)
+                       if alias_idx_chunks else np.zeros(1, i32))
+    light_alias_cut = (np.concatenate(alias_cut_chunks)
+                       if alias_cut_chunks else np.zeros(1, f32))
     if lt_pos:
         light_tris = np.concatenate(lt_pos)
         light_tri_vidx = np.concatenate(lt_vidx)
@@ -437,6 +454,8 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         light_cdf_count=np.asarray(lcc, i32) if L else np.zeros(0, i32),
         light_total=np.asarray(ltot, f32) if L else np.zeros(0, f32),
         light_cdf=light_cdf,
+        light_alias_idx=light_alias_idx.astype(i32),
+        light_alias_cut=light_alias_cut.astype(f32),
         light_tris=light_tris.astype(f32),
         light_tri_vidx=light_tri_vidx.astype(i32),
         light_tri_light=light_tri_light.astype(i32),
