@@ -4,9 +4,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The primary metric is the BASELINE.md one — paths/sec/chip forward+backward
 (differentiable render step: render, L2 loss vs target, grads w.r.t. all
 material/volume parameters). "extra" carries the forward-only rate, the
-XLA-counted FLOP throughput, and configs. The reference publishes no
-numbers (BASELINE.md), so vs_baseline is measured against recorded
-first-working-build figures kept in this file.
+XLA-counted FLOP throughput, and configs.
+
+vs_baseline is EXTERNAL (round-3 change, PERF.md §1): the compiled C++
+reference itself was timed on this host (2-core CPU, scene 03_volume,
+volpathtrace; 376k paths/s at the bench config, 372k at the published
+720px/256spp/b64 config — bounce-insensitive because RR kills most paths
+by ~bounce 8). The reference is forward-only; our metric additionally
+carries a full backward pass, so vs_baseline = fwd+bwd vs their fwd is
+conservative. extra.fwd_vs_ref_cpu compares forward against forward.
 """
 
 import json
@@ -16,10 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# recorded results of the first working TPU build of each metric; later
-# rounds are measured against them so progress is visible to the driver
+# compiled C++ reference on this host (PERF.md §1): 2 cores, 03_volume,
+# volpathtrace 360px b8 (372k/s at the published 720px b64 config)
+REF_CPU_PATHS_PER_SEC = 376_000.0
+# prior-round stakes, kept for continuity in "extra"
 ROUND1_FWD_PATHS_PER_SEC = 120_000.0
-ROUND2_FWDBWD_PATHS_PER_SEC = 127_304.0  # stake recorded 2026-08-20 (round 2)
+ROUND2_FWDBWD_PATHS_PER_SEC = 127_304.0
 
 SCENE = "/root/reference/tests/03_volume/volume.json"
 RESOLUTION = 360
@@ -79,7 +87,11 @@ def main():
     fwdbwd, flops_per_sec = bench_fwd_bwd(r)
     extra = {
         "fwd_paths_per_sec": round(fwd, 1),
-        "fwd_vs_round1": round(fwd / ROUND1_FWD_PATHS_PER_SEC, 3),
+        "fwd_vs_ref_cpu": round(fwd / REF_CPU_PATHS_PER_SEC, 3),
+        "fwdbwd_vs_round2": round(fwdbwd / ROUND2_FWDBWD_PATHS_PER_SEC, 3),
+        "ref_cpu_paths_per_sec": REF_CPU_PATHS_PER_SEC,
+        "ref_cpu_note": ("compiled C++ reference, 2-core host, fwd-only "
+                         "(no gradients); PERF.md"),
         "config": f"tests/03_volume {RESOLUTION}px b{BOUNCES} volpathtrace",
     }
     if flops_per_sec is not None:
@@ -89,7 +101,7 @@ def main():
                    f"{RESOLUTION}px b{BOUNCES}"),
         "value": round(fwdbwd, 1),
         "unit": "paths/s",
-        "vs_baseline": round(fwdbwd / ROUND2_FWDBWD_PATHS_PER_SEC, 3),
+        "vs_baseline": round(fwdbwd / REF_CPU_PATHS_PER_SEC, 3),
         "extra": extra,
     }))
 

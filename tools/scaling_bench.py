@@ -26,7 +26,15 @@ def main():
     ap.add_argument("--bounces", type=int, default=8)
     ap.add_argument("--cpu8", action="store_true",
                     help="force an 8-device virtual CPU mesh")
+    ap.add_argument("--multihost", type=int, default=0, metavar="N",
+                    help="spawn N jax.distributed processes (4 virtual CPU "
+                         "devices each, gloo collectives) and measure the "
+                         "global-mesh forward throughput for 1..N processes")
     args = ap.parse_args()
+
+    if args.multihost:
+        _multihost(args.multihost)
+        return
 
     if args.cpu8:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -64,6 +72,55 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"platform": jax.devices()[0].platform,
                       "n_devices": n_total, "rows": rows}))
+
+
+def _multihost(n_max: int):
+    """Spawn 1, 2, ..., n_max worker processes (tools/dist_worker.py bench
+    mode), each a jax.distributed participant with 4 virtual CPU devices,
+    and report global forward paths/s + efficiency vs the 1-process run.
+    NOTE: virtual devices share this host's physical cores, so efficiency
+    here measures distributed-program overhead (collectives, sharding),
+    not hardware scaling."""
+    import socket
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = os.path.join(repo, "goldens", "standins", "nested_media",
+                         "scene.json")
+    rows = []
+    base = None
+    nprocs = 1
+    while nprocs <= n_max:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        with tempfile.TemporaryDirectory() as td:
+            out0 = os.path.join(td, "bench.npz")
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            procs = [subprocess.Popen(
+                [sys.executable, os.path.join(repo, "tools", "dist_worker.py"),
+                 f"127.0.0.1:{port}", str(nprocs), str(pid), scene, out0,
+                 "4", "bench"], env=env, cwd=repo)
+                for pid in range(nprocs)]
+            for p in procs:
+                p.wait(timeout=900)
+                assert p.returncode == 0
+            d = np.load(out0)
+            pps = float(d["paths_per_sec"])
+        if base is None:
+            base = pps
+        rows.append({"processes": nprocs, "devices": int(4 * nprocs),
+                     "paths_per_sec": round(pps, 1),
+                     "speedup": round(pps / base, 3),
+                     "efficiency": round(pps / (base * nprocs), 3)})
+        print(json.dumps(rows[-1]), flush=True)
+        nprocs *= 2
+    print(json.dumps({"platform": "cpu-multihost-gloo", "rows": rows}))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,57 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Join the jax.distributed multi-host runtime (SURVEY.md §2.3 mapping:
+    the reference's single-process parallel_for becomes a (process x
+    local-device) world; collectives ride ICI within a slice and DCN across
+    hosts). Parameters default from the environment:
+
+      VPT_COORDINATOR  host:port of process 0 (also JAX_COORDINATOR_ADDRESS)
+      VPT_NUM_PROCESSES / VPT_PROCESS_ID (also JAX_NUM_PROCESSES/JAX_PROCESS_ID)
+
+    Returns True when the distributed runtime was initialized; False when no
+    coordinator is configured (single-process mode — everything else works
+    unchanged on the local devices). After this, jax.devices() is the GLOBAL
+    device list and make_mesh() spans all hosts; shard_map/psum in the render
+    and grad paths need no changes.
+
+    On CPU the cross-process collectives use the gloo transport
+    (jax_cpu_collectives_implementation), exercised by
+    tests/test_distributed.py with a 2-process x 4-virtual-device world.
+    """
+    import os
+
+    coordinator = (coordinator or os.environ.get("VPT_COORDINATOR")
+                   or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not coordinator:
+        return False
+    if num_processes is None:
+        num_processes = int(os.environ.get(
+            "VPT_NUM_PROCESSES", os.environ.get("JAX_NUM_PROCESSES", "1")))
+    if process_id is None:
+        process_id = int(os.environ.get(
+            "VPT_PROCESS_ID", os.environ.get("JAX_PROCESS_ID", "0")))
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id)
+    return True
+
+
+def local_shard_bounds(total: int) -> tuple[int, int]:
+    """[lo, hi) slice of a `total`-sized leading axis owned by this process
+    when sharded over the global device list (equal per-device blocks; the
+    caller pads `total` to a multiple of the device count)."""
+    devs = jax.devices()
+    per = total // len(devs)
+    mine = [i for i, d in enumerate(devs)
+            if d.process_index == jax.process_index()]
+    return min(mine) * per, (max(mine) + 1) * per
+
+
 DIFF_PARAM_FIELDS = (
     "mat_emission", "mat_color", "mat_roughness", "mat_metallic",
     "mat_scattering", "mat_scanisotropy", "mat_trdepth", "grid_values",
