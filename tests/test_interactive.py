@@ -93,3 +93,43 @@ def test_ansi_image_shape():
     lines = text.split("\n")
     assert len(lines) >= 5
     assert "▀" in lines[0]
+
+
+def test_live_parameter_edits():
+    """Reference widget parity (ypathtrace.cpp:229-268): samples / bounces /
+    shader / resolution / pratio edit mid-session, each recompiling the
+    render program and restarting accumulation."""
+    from vpt_tpu.interactive import InteractiveSession
+    from vpt_tpu.renderer import RenderParams
+    from vpt_tpu.scene.testing import make_test_scene
+
+    params = RenderParams(shader="pathtrace", samples=4, resolution=24,
+                          bounces=2, pratio=4)
+    sess = InteractiveSession(make_test_scene(sphere_steps=6), params)
+    sess.step(1)
+    assert sess.current_samples == 1
+
+    assert sess.handle_command("bounces 3")
+    assert sess.params.bounces == 3 and sess.current_samples == 0
+    sess.step(1)
+    assert sess.current_samples == 1
+
+    assert sess.handle_command("shader eyelight")
+    assert sess.params.shader == "eyelight"
+    sess.step(1)
+
+    assert sess.handle_command("resolution 32")
+    assert sess.renderer.width >= 32 or sess.renderer.height >= 32
+    sess.step(1)
+    assert sess.display.shape[:2] == (sess.renderer.height,
+                                      sess.renderer.width)
+
+    assert sess.handle_command("pratio 2")
+    assert sess.params.pratio == 2
+
+    assert sess.handle_command("samples 8")
+    assert sess.params.samples == 8
+
+    # unknown word commands are not consumed as camera keys
+    assert sess.handle_command("shader nosuch")
+    assert sess.params.shader == "eyelight"

@@ -91,11 +91,23 @@ def main(argv=None):
         f"{args.samples}spp {args.shader} "
         f"on {renderer.n_devices} device(s)\n")
     rt0 = time.time()
+    bar_t0 = {"t": rt0}
+
+    def render_progress(c, t):
+        if c < 0:  # compile-finished signal (renderer AOT-compiles first)
+            sys.stderr.write(
+                f"compiled render program in "
+                f"{renderer.compile_seconds:.1f}s (cached for identical "
+                f"configs)\n")
+            bar_t0["t"] = time.time()
+            return
+        _progress_bar("render", c, t, bar_t0["t"])
+
     img, _ = renderer.render(
-        progress=lambda c, t: _progress_bar("render", c, t, rt0),
+        progress=render_progress,
         checkpoint=args.checkpoint, checkpoint_every=args.checkpoint_every)
     rays = renderer.width * renderer.height * args.samples
-    dt = time.time() - rt0
+    dt = time.time() - bar_t0["t"]
     sys.stderr.write(f"render: {dt:.2f}s  ({rays / dt / 1e6:.2f} Mpaths/s)\n")
     save_render(args.output, img, exposure=args.exposure, filmic=args.filmic)
     sys.stderr.write(f"saved {args.output}  total {time.time() - t0:.2f}s\n")

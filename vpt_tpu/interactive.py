@@ -102,6 +102,13 @@ HELP = """interactive commands:
   e/E        exposure +-0.5         f      toggle filmic
   1..9       switch camera          p      save PNG to --output
   r          restart accumulation   q      quit
+live parameter edits (reference widgets parity, ypathtrace.cpp:229-268 —
+each recompiles the render program and restarts accumulation):
+  shader <name>     volpathtrace|pathtrace|naive|eyelight|normal|...
+  samples <n>       target sample count
+  bounces <n>       path depth
+  resolution <n>    image resolution
+  pratio <n>        preview downscale ratio
 """
 
 
@@ -238,8 +245,54 @@ class InteractiveSession:
 
     # -- edits --------------------------------------------------------------
 
+    def _rebuild(self):
+        """Recompile the render programs after a parameter edit (the
+        reference widgets set `reedit` and rebuild state,
+        ypathtrace.cpp:229-268)."""
+        self.renderer._step = None
+        self._preview_step = self.renderer._build_step(1)
+        if hasattr(self, "_small_fn"):
+            del self._small_fn
+        self.reset()
+
+    def _edit_params(self, cmd: str) -> bool:
+        """Word-form live edits; returns True when cmd was consumed."""
+        from .renderer import SHADER_NAMES
+
+        parts = cmd.split()
+        if len(parts) != 2:
+            return False
+        key, val = parts
+        r = self.renderer
+        if key == "shader":
+            if val not in SHADER_NAMES:
+                return True  # consumed; unknown shader ignored
+            self.params.shader = r.params.shader = val
+            self._rebuild()
+        elif key in ("samples", "bounces", "resolution", "pratio"):
+            try:
+                n = max(1, int(val))
+            except ValueError:
+                return True
+            if key == "pratio":
+                self.params.pratio = r.params.pratio = n
+                self.reset()
+                return True
+            setattr(self.params, key, n)
+            setattr(r.params, key, n)
+            if key == "resolution":
+                cam = r.scene.cameras[self.params.camera]
+                r.width, r.height = RS.image_size(cam.aspect, n)
+            self._rebuild()
+        else:
+            return False
+        return True
+
     def handle_command(self, cmd: str, output: str | None = None) -> bool:
-        """Apply one keyboard command; returns False on quit."""
+        """Apply one keyboard command or word-form parameter edit; returns
+        False on quit."""
+        if " " in cmd.strip() and self._edit_params(cmd.strip()):
+            return True
         rot = 0.15
         cam = self.params.camera
         frame = np.asarray(self.renderer.ds.cam_frame)[cam]
@@ -280,11 +333,7 @@ class InteractiveSession:
                     self.renderer.arrays.cam_focus[new_cam])
                 # rebuild the step: camera id is baked into the program
                 self.renderer.params.camera = new_cam
-                self.renderer._step = None
-                self._preview_step = self.renderer._build_step(1)
-                if hasattr(self, "_small_fn"):
-                    del self._small_fn
-                self.reset()
+                self._rebuild()
         return True
 
     def _retonemap(self):

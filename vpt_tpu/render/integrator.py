@@ -14,11 +14,18 @@ the first and the stack never exceeds depth 1. A nested-media scene rendered
 by the compiled reference binary confirms this (tests/test_golden.py
 nested-media row).
 
-Deviations from the reference, by design:
-  - opacity passthrough consumes a bounce (the reference rewinds the bounce
-    counter, cpp:607-611); test scenes are fully opaque so this is invisible.
-  - RNG is counter-based per (pixel, sample, bounce, slot) instead of a
-    mutable PCG stream — deterministic under any sharding.
+Opacity passthrough parity (cpp:607-611): the reference rewinds its bounce
+counter on passthrough (`bounce -= 1`), so semi-transparent crossings are
+free. In the wavefront scan each ray carries `nbounce` (real interactions
+taken); passthrough skips the increment, rays stop at nbounce == bounces,
+and the scan runs `bounces + extra` iterations to fund the free crossings.
+The machinery is enabled statically only when the scene can produce
+opacity < 1 (renderer checks materials, vertex colors, and bound color
+textures); fully opaque scenes compile the plain fixed-depth scan.
+
+Deviation from the reference, by design: RNG is counter-based per
+(pixel, sample, bounce, slot) instead of a mutable PCG stream —
+deterministic under any sharding.
 """
 
 from __future__ import annotations
@@ -50,6 +57,7 @@ class PathState(NamedTuple):
     weight: jnp.ndarray     # (R, 3)
     alive: jnp.ndarray      # (R,) bool
     hit0: jnp.ndarray       # (R,) bool: first-bounce surface hit (alpha)
+    nbounce: jnp.ndarray    # (R,) int32: real bounces taken (passthrough free)
     vol_depth: jnp.ndarray  # (R,) int32
     vol_density: jnp.ndarray     # (R, 3)
     vol_scattering: jnp.ndarray  # (R, 3)
@@ -71,7 +79,8 @@ def _u2(pixel_id, sample_id, bounce, k, seed):
 def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
                      naive: bool = False, seed: int = 1301081,
-                     mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS):
+                     mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS,
+                     opacity_extra: int = 0):
     """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
@@ -80,6 +89,9 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
     mat_types: static set of material-type codes present in the scene —
     BSDF dispatch skips absent lobes at trace time.
+    opacity_extra: extra scan iterations funding opacity-passthrough
+    crossings (reference bounce-rewind parity, cpp:607-611). 0 disables the
+    per-ray bounce counters entirely (fully opaque scenes).
     tex_slots: static set of texture-slot names any material actually binds
     ("emission"/"color"/"roughness"/"scattering"/"normal") — unbound slots
     skip their 4-tap gather into the texture atlas entirely (the atlas
@@ -95,6 +107,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             ray_o=ray_o, ray_d=ray_d,
             radiance=f3(0.0), weight=f3(1.0),
             alive=jnp.ones((R,), bool), hit0=jnp.zeros((R,), bool),
+            nbounce=jnp.zeros((R,), jnp.int32),
             vol_depth=jnp.zeros((R,), jnp.int32),
             vol_density=f3(), vol_scattering=f3(),
             vol_scaniso=jnp.zeros((R,), jnp.float32), vol_emission=f3(),
@@ -114,6 +127,10 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             u = lambda k: _u(pixel_id, sample_id, bounce, k, seed)
             u2 = lambda k: _u2(pixel_id, sample_id, bounce, k, seed)
 
+            if opacity_extra:
+                # rays whose real-bounce budget is spent stop cold (the
+                # reference loop exits before tracing another ray)
+                st = st._replace(alive=st.alive & (st.nbounce < bounces))
             isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive)
             hit = isect["hit"]
             # environment on miss
@@ -275,16 +292,22 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             alive = alive & jnp.where(active_shaded, ~wzero, True)
             if bounces > 4:
                 rr_prob = jnp.minimum(0.99, vmax(weight))
-                do_rr = active_shaded & (bounce > 3)
+                bounce_eff = st.nbounce if opacity_extra else bounce
+                do_rr = active_shaded & (bounce_eff > 3)
                 rr_kill = do_rr & (u(11) >= rr_prob)
                 alive = alive & ~rr_kill
                 weight = jnp.where(
                     (do_rr & ~rr_kill)[..., None],
                     weight / jnp.maximum(rr_prob, 1e-12)[..., None], weight)
 
+            if opacity_extra:
+                nbounce = st.nbounce + jnp.where(
+                    st.alive & ~passthrough, 1, 0).astype(jnp.int32)
+            else:
+                nbounce = st.nbounce
             return PathState(
                 ray_o=new_o, ray_d=new_d, radiance=radiance, weight=weight,
-                alive=alive, hit0=hit0, vol_depth=vol_depth,
+                alive=alive, hit0=hit0, nbounce=nbounce, vol_depth=vol_depth,
                 vol_density=vol_density, vol_scattering=vol_scattering,
                 vol_scaniso=vol_scaniso, vol_emission=vol_emission,
             )
@@ -293,11 +316,12 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
         # ~20x through the remote-compile tunnel); dead rays cost ~nothing in
         # later bounces because traversal starts with cursor -1 for them and
         # the inner while exits immediately once all are dead
+        n_iters = bounces + opacity_extra
         if UNROLL_BOUNCES_DEBUG:
-            for b in range(bounces):
+            for b in range(n_iters):
                 state, _ = bounce_step(state, jnp.int32(b))
         else:
-            state, _ = jax.lax.scan(bounce_step, state, jnp.arange(bounces))
+            state, _ = jax.lax.scan(bounce_step, state, jnp.arange(n_iters))
         radiance = state.radiance
         finite = jnp.all(jnp.isfinite(radiance), axis=-1)
         radiance = jnp.where(finite[..., None], radiance, 0.0)
@@ -313,13 +337,13 @@ def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         R = ray_o.shape[0]
-        radiance = jnp.zeros((R, 3))
-        weight = jnp.ones((R, 3))
-        alive = jnp.ones((R,), bool)
-        hit0 = jnp.zeros((R,), bool)
-        o, d = ray_o, ray_d
-        for bounce in range(max(bounces, 4)):
-            isect = intersect_scene(ds, o, d)
+
+        def bounce_step(c, bounce):
+            # lax.scan, not a Python unroll: with --bounces 64 an unrolled
+            # loop emits 64 copies of intersect+shade into one XLA program
+            # (multi-minute compile for a preview shader — VERDICT r2 #7)
+            o, d, radiance, weight, alive, hit0 = c
+            isect = intersect_scene(ds, o, d, alive=alive)
             hit = isect["hit"]
             env = SE.eval_environment(ds, d, n_envs)
             radiance = jnp.where(
@@ -347,6 +371,12 @@ def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
             alive = cont & jnp.any(weight != 0.0, axis=-1)
             o = jnp.where(cont[..., None], position, o)
             d = jnp.where(cont[..., None], inc, d)
+            return (o, d, radiance, weight, alive, hit0), None
+
+        init = (ray_o, ray_d, jnp.zeros((R, 3)), jnp.ones((R, 3)),
+                jnp.ones((R,), bool), jnp.zeros((R,), bool))
+        (o, d, radiance, weight, alive, hit0), _ = jax.lax.scan(
+            bounce_step, init, jnp.arange(max(bounces, 4)))
         finite = jnp.all(jnp.isfinite(radiance), axis=-1)
         return jnp.where(finite[..., None], radiance, 0.0), hit0.astype(jnp.float32)
 

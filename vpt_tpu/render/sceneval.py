@@ -46,6 +46,18 @@ def _tri_verts(ds, tri):
     return v[..., 0, :], v[..., 1, :], v[..., 2, :]
 
 
+def _tri_attrs(ds, tri):
+    """One (tri_meta, vert_attr) gather pair for everything a hit needs:
+    returns (mat_id, normals (..,3,3), texcoords (..,3,2), colors (..,3,4)).
+    XLA CSEs this across eval_* calls in the same program, so a bounce pays
+    one corner-attribute gather instead of three."""
+    meta = ds.tri_meta[tri]           # (..., 4)
+    vidx = meta[..., :3]
+    mat_id = meta[..., 3]
+    va = ds.vert_attr[vidx]           # (..., 3, 9)
+    return mat_id, va[..., 0:3], va[..., 3:5], va[..., 5:9]
+
+
 def eval_position(ds, tri, uv):
     p0, p1, p2 = _tri_verts(ds, tri)
     return interpolate_triangle(p0, p1, p2, uv)
@@ -59,8 +71,7 @@ def eval_element_normal(ds, tri):
 def eval_normal(ds, tri, uv):
     """Interpolated vertex normal; geometric normal when the shape has none
     (stored as zero vectors at flatten time)."""
-    vidx = ds.tri_vidx[tri]
-    n = ds.vert_normal[vidx]  # (..., 3, 3)
+    _, n, _, _ = _tri_attrs(ds, tri)
     ni = interpolate_triangle(n[..., 0, :], n[..., 1, :], n[..., 2, :], uv)
     has = jnp.sum(ni * ni, axis=-1) > 1e-12
     geom = eval_element_normal(ds, tri)
@@ -68,14 +79,12 @@ def eval_normal(ds, tri, uv):
 
 
 def eval_texcoord(ds, tri, uv):
-    vidx = ds.tri_vidx[tri]
-    t = ds.vert_texcoord[vidx]
+    _, _, t, _ = _tri_attrs(ds, tri)
     return interpolate_triangle(t[..., 0, :], t[..., 1, :], t[..., 2, :], uv)
 
 
 def eval_color(ds, tri, uv):
-    vidx = ds.tri_vidx[tri]
-    c = ds.vert_color[vidx]
+    _, _, _, c = _tri_attrs(ds, tri)
     return interpolate_triangle(c[..., 0, :], c[..., 1, :], c[..., 2, :], uv)
 
 
@@ -100,7 +109,7 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
     """yocto_scene.cpp:476-503 for triangle shapes: vertex normal, normal map
     if present, refractive keeps orientation, others face-forward."""
     normal = eval_normal(ds, tri, uv)
-    mat_id = ds.tri_mat[tri]
+    mat_id = _tri_attrs(ds, tri)[0]
     if "normal" in tex_slots:
         normal_tex = ds.mat_normal_tex[mat_id]
         has_nm = normal_tex >= 0
@@ -112,8 +121,7 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
         )
         normalmap = -1.0 + 2.0 * nm_rgba[..., :3]
         p0, p1, p2 = _tri_verts(ds, tri)
-        vidx = ds.tri_vidx[tri]
-        tc = ds.vert_texcoord[vidx]
+        tc = _tri_attrs(ds, tri)[2]
         tu, tv = _triangle_tangents_fromuv(
             p0, p1, p2, tc[..., 0, :], tc[..., 1, :], tc[..., 2, :]
         )
@@ -135,7 +143,7 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
 
 def eval_material(ds, tri, uv, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     """yocto_scene.cpp:529-579 (textured variant)."""
-    mat_id = ds.tri_mat[tri]
+    mat_id = _tri_attrs(ds, tri)[0]
     texcoord = eval_texcoord(ds, tri, uv)
     color_shp = eval_color(ds, tri, uv)
     return _material_from(ds, mat_id, texcoord, color_shp, tex_slots)
@@ -270,7 +278,7 @@ def eval_hit_material(ds, isect, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     if not _has_lp(ds):
         return eval_material(ds, tri, isect["uv"], tex_slots)
     s = isect["uv"][..., 0]
-    mat_id = ds.tri_mat[tri]
+    mat_id = _tri_attrs(ds, tri)[0]
     texcoord = eval_texcoord(ds, tri, isect["uv"])
     color_shp = eval_color(ds, tri, isect["uv"])
     kind = isect["kind"]

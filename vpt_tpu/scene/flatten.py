@@ -40,6 +40,13 @@ class SceneArrays(NamedTuple):
     vert_normal: np.ndarray   # (V, 3) world-space
     vert_texcoord: np.ndarray # (V, 2)
     vert_color: np.ndarray    # (V, 4)
+    # interleaved copy [normal | texcoord | color]: hit evaluation gathers
+    # ONE (V, 9) row per corner instead of three separate table gathers —
+    # TPU gathers cost ~per-index regardless of row width (PERF.md §2)
+    vert_attr: np.ndarray     # (V, 9)
+    # [v0, v1, v2, mat] — folds the per-triangle material id into the same
+    # gather as the vertex indices
+    tri_meta: np.ndarray      # (T, 4) int32
     # bvh (same tree in two layouts: fused records for the XLA traversal,
     # 128-lane packed rows for the Pallas packet kernel)
     bvh: BvhArrays
@@ -235,6 +242,8 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         vert_texcoord = np.zeros((1, 2), f32)
         vert_color = np.ones((1, 4), f32)
 
+    vert_attr = np.concatenate(
+        [vert_normal, vert_texcoord, vert_color], axis=1).astype(f32)
     bvh, perm = build_bvh(tri_pos)
     if perm.size:
         tri_pos = tri_pos[perm]
@@ -412,10 +421,14 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         tri_pos=tri_pos.astype(f32),
         tri_vidx=tri_vidx_p.astype(i32),
         tri_mat=tri_mat_p.astype(i32),
+        tri_meta=np.concatenate(
+            [tri_vidx_p.astype(i32), tri_mat_p.astype(i32)[:, None]],
+            axis=1),
         tri_inst=tri_inst_p.astype(i32),
         vert_normal=vert_normal,
         vert_texcoord=vert_texcoord,
         vert_color=vert_color,
+        vert_attr=vert_attr,
         bvh=bvh,
         bvh_packed=from_bvh_arrays(bvh),
         mat_type=marr(lambda m: m.type, dtype=i32),
