@@ -122,3 +122,32 @@ def test_opacity_passthrough_rewind_parity():
                        1301081)
     rad, _ = jax.jit(lambda: shade(r.ds, o, d, pix, jnp.int32(0)))()
     assert float(jnp.mean(rad)) < 0.5 * lum
+
+
+def test_cli_json_config(tmp_path):
+    """--config JSON supplies option defaults; explicit flags win
+    (yocto add_option_with_config parity, yocto_cli.h:194)."""
+    import json
+
+    from vpt_tpu.cli import main
+    from vpt_tpu.scene.image_io import load_png
+    from vpt_tpu.scene.json_save import save_json_scene
+    from vpt_tpu.scene.testing import make_test_scene
+
+    scene_dir = tmp_path / "sc"
+    scene_dir.mkdir()
+    save_json_scene(str(scene_dir / "scene.json"), make_test_scene(
+        sphere_steps=6))
+    cfg = tmp_path / "render.json"
+    cfg.write_text(json.dumps({
+        "shader": "normal", "samples": 1, "resolution": 16}))
+    out = tmp_path / "o.png"
+    main(["--scene", str(scene_dir / "scene.json"), "--output", str(out),
+          "--config", str(cfg)])
+    img = load_png(str(out))
+    assert img.shape[0] <= 16 or img.shape[1] <= 16 * 3  # tiny render ran
+
+    import pytest
+    cfg.write_text(json.dumps({"nosuch": 1}))
+    with pytest.raises(SystemExit):
+        main(["--scene", str(scene_dir / "scene.json"), "--config", str(cfg)])

@@ -55,7 +55,25 @@ def main(argv=None):
                          "periodically and at completion")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="samples between checkpoint saves (default: chunk)")
+    ap.add_argument("--config", default=None,
+                    help="JSON file of option defaults (yocto_cli.h:194 "
+                         "add_option_with_config parity); explicit CLI flags "
+                         "override config values")
     args = ap.parse_args(argv)
+
+    if args.config:
+        import json as _json
+
+        with open(args.config) as f:
+            cfg = _json.load(f)
+        defaults = {a.dest: a.default for a in ap._actions}
+        for key, val in cfg.items():
+            dest = key.replace("-", "_")
+            if dest not in defaults:
+                raise SystemExit(f"{args.config}: unknown option {key!r}")
+            # CLI wins only where the user deviated from the default
+            if getattr(args, dest) == defaults[dest]:
+                setattr(args, dest, val)
 
     if args.cpu:
         import jax

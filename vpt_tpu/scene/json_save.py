@@ -304,9 +304,128 @@ def save_scene(path: str, scene) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".json":
         save_json_scene(path, scene)
-    elif ext in (".ply", ".obj", ".stl"):
+    elif ext == ".obj":
+        save_obj_scene(path, scene)
+    elif ext in (".ply", ".stl"):
         if not scene.shapes:
             raise ValueError(f"{path}: scene has no shapes")
         save_shape(path, scene.shapes[0])
     else:
         raise ValueError(f"unsupported scene format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# OBJ scene save (reference save_obj_scene, yocto_sceneio.cpp:2641): the
+# whole scene in one .obj (instance frames baked into world-space vertices,
+# one `o`/`usemtl` group per instance) + a .mtl inverting the load-side
+# conversion heuristics (sceneio.py _parse_mtl), so load(save(scene))
+# reproduces the material classes.
+# ---------------------------------------------------------------------------
+
+def _roughness_to_exponent(r: float) -> float:
+    if r <= 0.0:
+        return 1e9
+    return max(2.0 / (r ** 4) - 2.0, 0.0)
+
+
+def save_obj_scene(path: str, scene) -> None:
+    from . import schema as _schema
+
+    base = os.path.splitext(path)[0]
+    dirname = os.path.dirname(path) or "."
+    mtl_name = os.path.basename(base) + ".mtl"
+
+    tex_uris = {}
+    if scene.textures:
+        os.makedirs(os.path.join(dirname, "textures"), exist_ok=True)
+    for i, t in enumerate(scene.textures):
+        name = _name(t, "texture", i)
+        uri = f"textures/{name}" + (".hdr" if t.linear else ".png")
+        tex_uris[i] = uri
+        save_texture(os.path.join(dirname, uri), t)
+
+    mtl = []
+    for i, m in enumerate(scene.materials):
+        mtl.append(f"newmtl {_name(m, 'material', i)}")
+        e = np.asarray(m.emission, np.float32)
+        c = np.asarray(m.color, np.float32)
+        if np.any(e != 0):
+            mtl.append(f"Ke {e[0]:.6g} {e[1]:.6g} {e[2]:.6g}")
+        tname = _schema.MATERIAL_TYPES[m.type]
+        if tname in ("transparent", "refractive"):
+            mtl.append(f"Kt {c[0]:.6g} {c[1]:.6g} {c[2]:.6g}")
+            if m.color_tex >= 0:
+                mtl.append(f"map_Kt {tex_uris[m.color_tex]}")
+        elif tname == "reflective":
+            mtl.append(f"Ks {c[0]:.6g} {c[1]:.6g} {c[2]:.6g}")
+            if m.color_tex >= 0:
+                mtl.append(f"map_Ks {tex_uris[m.color_tex]}")
+        elif tname == "glossy":
+            mtl.append(f"Kd {c[0]:.6g} {c[1]:.6g} {c[2]:.6g}")
+            mtl.append("Ks 0.04 0.04 0.04")
+            if m.color_tex >= 0:
+                mtl.append(f"map_Kd {tex_uris[m.color_tex]}")
+        else:
+            mtl.append(f"Kd {c[0]:.6g} {c[1]:.6g} {c[2]:.6g}")
+            if m.color_tex >= 0:
+                mtl.append(f"map_Kd {tex_uris[m.color_tex]}")
+        mtl.append(f"Ns {min(_roughness_to_exponent(float(m.roughness)), 1e9):.6g}")
+        if m.ior != 1.5:
+            mtl.append(f"Ni {float(m.ior):.6g}")
+        if m.opacity != 1.0:
+            mtl.append(f"d {float(m.opacity):.6g}")
+        if m.normal_tex >= 0:
+            mtl.append(f"map_bump {tex_uris[m.normal_tex]}")
+        if m.emission_tex >= 0:
+            mtl.append(f"map_Ke {tex_uris[m.emission_tex]}")
+        mtl.append("")
+    with open(os.path.join(dirname, mtl_name), "w") as f:
+        f.write("\n".join(mtl))
+
+    out = [f"mtllib {mtl_name}"]
+    voff = toff = noff = 0
+    for ii, inst in enumerate(scene.instances):
+        sh = scene.shapes[inst.shape]
+        fr = np.asarray(inst.frame, np.float32)
+        pos = np.asarray(sh.positions, np.float32) @ fr[:3] + fr[3]
+        nrm = sh.normals
+        if nrm is not None:
+            nrm = np.asarray(nrm, np.float32) @ fr[:3]
+        tc = sh.texcoords
+        out.append(f"o {_name(inst, 'instance', ii)}")
+        mat = scene.materials[inst.material] if inst.material >= 0 else None
+        if mat is not None:
+            out.append(f"usemtl {_name(mat, 'material', inst.material)}")
+        for p in pos:
+            out.append(f"v {p[0]:.8g} {p[1]:.8g} {p[2]:.8g}")
+        if tc is not None:
+            for t in np.asarray(tc, np.float32):
+                out.append(f"vt {t[0]:.8g} {t[1]:.8g}")
+        if nrm is not None:
+            for n in nrm:
+                out.append(f"vn {n[0]:.8g} {n[1]:.8g} {n[2]:.8g}")
+
+        def vref(i):
+            vi = voff + int(i) + 1
+            ti = toff + int(i) + 1
+            ni = noff + int(i) + 1
+            if tc is not None and nrm is not None:
+                return f"{vi}/{ti}/{ni}"
+            if tc is not None:
+                return f"{vi}/{ti}"
+            if nrm is not None:
+                return f"{vi}//{ni}"
+            return str(vi)
+
+        for key, rec in (("triangles", "f"), ("quads", "f"),
+                         ("lines", "l"), ("points", "p")):
+            idx = getattr(sh, key)
+            if idx is None or len(idx) == 0:
+                continue
+            for row in np.asarray(idx, np.int64).reshape(len(idx), -1):
+                out.append(rec + " " + " ".join(vref(i) for i in row))
+        voff += pos.shape[0]
+        toff += 0 if tc is None else len(tc)
+        noff += 0 if nrm is None else len(nrm)
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
