@@ -44,23 +44,25 @@ def main():
     # pad pixel count to the world size
     import jax.numpy as jnp
 
+    step = make_grad_step(mesh, shade, r.width, r.height,
+                          total_samples=params_r.samples)
+    params = extract_params(r.ds)
+    target = jnp.zeros((r.width * r.height, 3), jnp.float32)
+
     if len(sys.argv) > 7 and sys.argv[7] == "bench":
-        # forward-render throughput over the GLOBAL mesh (scaling_bench
-        # --multihost): time K sharded samples, process 0 writes paths/s
+        # fwd+bwd throughput over the GLOBAL mesh (scaling_bench
+        # --multihost): time K grad steps (the production differentiable
+        # step — rays sharded, grads psum'd), process 0 writes paths/s
         import time
 
-        from vpt_tpu.parallel.mesh import make_sharded_render_fn
-
-        render = jax.jit(make_sharded_render_fn(
-            mesh, shade, r.width, r.height,
-            total_samples=params_r.samples))
-        out = render(r.ds, jnp.int32(0))
-        out.block_until_ready()
+        jstep = jax.jit(step)
+        loss, _ = jstep(r.ds, params, target, jnp.int32(0))
+        float(jax.device_get(loss))
         iters = 8
         t0 = time.time()
         for i in range(iters):
-            out = render(r.ds, jnp.int32(i + 1))
-        out.block_until_ready()
+            loss, _ = jstep(r.ds, params, target, jnp.int32(i + 1))
+        float(jax.device_get(loss))
         dt = time.time() - t0
         pps = iters * r.width * r.height / dt
         if int(pid) == 0:
@@ -69,10 +71,6 @@ def main():
         print(f"[proc {pid}] world={world} {pps:,.0f} paths/s", flush=True)
         return
 
-    step = make_grad_step(mesh, shade, r.width, r.height,
-                          total_samples=params_r.samples)
-    params = extract_params(r.ds)
-    target = jnp.zeros((r.width * r.height, 3), jnp.float32)
     loss, new_params = jax.jit(step)(r.ds, params, target, jnp.int32(0))
     loss = float(loss)
     if int(pid) == 0:

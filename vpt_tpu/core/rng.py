@@ -75,6 +75,20 @@ def uniform_float(pixel_id, sample_id, slot, seed: int = 1301081):
     return f - 1.0
 
 
+def uniform_float_pair(pixel_id, sample_id, slot, seed: int = 1301081):
+    """TWO uniforms from ONE threefry call (the cipher produces a 2x32
+    block; discarding half doubles the integrator's RNG cost). Addresses
+    draws (slot, slot+1); callers use even slots so the pair space never
+    collides with uniform_float's single-draw slots."""
+    c0 = jnp.asarray(pixel_id, dtype=jnp.uint32)
+    c1 = jnp.asarray(sample_id, dtype=jnp.uint32) * jnp.uint32(0x01000193) + (
+        jnp.asarray(slot, dtype=jnp.uint32))
+    r0, r1 = threefry2x32(c0, c1, jnp.uint32(seed), jnp.uint32(0x85EBCA6B))
+    tof = lambda bits: (((bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000))
+                        .view(jnp.float32) - 1.0)
+    return tof(r0), tof(r1)
+
+
 class SlotCounter:
     """Helper to hand out unique draw slots inside an integrator step.
 

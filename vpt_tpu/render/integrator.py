@@ -76,11 +76,31 @@ def _u2(pixel_id, sample_id, bounce, k, seed):
          _u(pixel_id, sample_id, bounce, k + 1, seed)], axis=-1)
 
 
+def _make_ubank(pixel_id, sample_id, bounce, seed):
+    """Per-bounce draw bank: draws come in threefry PAIRS (one cipher call
+    yields two uniforms), memoized at trace time, so a 12-draw bounce costs
+    6 cipher evaluations instead of 12. Draw k lives in pair k//2 at even
+    slot CAMERA_DRAWS + bounce*DRAWS_PER_BOUNCE + 2*(k//2)."""
+    cache = {}
+
+    def u(k):
+        p = k // 2
+        if p not in cache:
+            slot = CAMERA_DRAWS + bounce * DRAWS_PER_BOUNCE + 2 * p
+            cache[p] = rng.uniform_float_pair(pixel_id, sample_id, slot, seed)
+        return cache[p][k % 2]
+
+    def u2(k):
+        return jnp.stack([u(k), u(k + 1)], axis=-1)
+
+    return u, u2
+
+
 def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
                      naive: bool = False, seed: int = 1301081,
                      mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS,
-                     opacity_extra: int = 0):
+                     opacity_extra: int = 0, can_opacity: bool = True):
     """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
@@ -92,6 +112,8 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
     opacity_extra: extra scan iterations funding opacity-passthrough
     crossings (reference bounce-rewind parity, cpp:607-611). 0 disables the
     per-ray bounce counters entirely (fully opaque scenes).
+    can_opacity: False skips the passthrough draw + masking entirely
+    (statically opaque scene).
     tex_slots: static set of texture-slot names any material actually binds
     ("emission"/"color"/"roughness"/"scattering"/"normal") — unbound slots
     skip their 4-tap gather into the texture atlas entirely (the atlas
@@ -113,19 +135,30 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             vol_scaniso=jnp.zeros((R,), jnp.float32), vol_emission=f3(),
         )
 
+        # The any-alive skip is a real lax.cond: once every ray in the shard
+        # is dead the remaining scan iterations cost ~nothing, which is what
+        # makes the reference's --bounces 64 configs affordable (RR kills
+        # most paths within ~8 bounces). BUT the cond itself is expensive —
+        # XLA copies the carried PathState through the conditional, measured
+        # 10.9 ms per bounce on a v5e (profiler trace, PERF.md §2) vs a
+        # 19 ms bounce body. Only use it when enough trailing iterations
+        # can be skipped to win back the copies.
+        use_alive_cond = (bounces + opacity_extra) > 16
+
         def bounce_step(st: PathState, bounce):
-            # real branch: once every ray in the shard is dead, the remaining
-            # bounces of the scan cost one scalar reduction each. Matters for
-            # the reference's --bounces 64 configs (run.sh) where RR kills
-            # most paths within ~8 bounces.
+            if not use_alive_cond:
+                return _bounce_live(st, bounce), None
             return jax.lax.cond(
                 jnp.any(st.alive),
                 lambda s: _bounce_live(s, bounce),
                 lambda s: s, st), None
 
-        def _bounce_live(st: PathState, bounce):
-            u = lambda k: _u(pixel_id, sample_id, bounce, k, seed)
-            u2 = lambda k: _u2(pixel_id, sample_id, bounce, k, seed)
+        def _bounce_live(st: PathState, bounce, first: bool = False):
+            # first=True: the peeled camera bounce — every ray is alive and
+            # outside any volume, so the transmittance/scatter machinery is
+            # statically dead code
+            vol_here = enable_volume and not first
+            u, u2 = _make_ubank(pixel_id, sample_id, bounce, seed)
 
             if opacity_extra:
                 # rays whose real-bounce budget is spent stop cold (the
@@ -142,9 +175,9 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
             # --- transmittance sampling inside a volume (cpp:586-596) ---
             dist_surf = isect["dist"]
-            in_vol = alive & (st.vol_depth > 0) if enable_volume else (
+            in_vol = alive & (st.vol_depth > 0) if vol_here else (
                 jnp.zeros_like(alive))
-            if enable_volume:
+            if vol_here:
                 # sanitize inputs for rays not in a volume: FLT_MAX distances
                 # in the unselected where-branch poison reverse-mode AD
                 # (0 * inf = NaN cotangents)
@@ -174,7 +207,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             # so the light-sampling machinery (env-CDF sample + pdf walk over
             # all lights, the two most gather-heavy ops in the step) runs
             # ONCE on merged positions/directions instead of per branch
-            if enable_volume:
+            if vol_here:
                 vpos = st.ray_o + st.ray_d * t_dist[..., None]
                 light_pos = jnp.where(in_scatter[..., None], vpos, position)
             else:
@@ -183,9 +216,12 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 inc_light = sample_lights(ds, lights, light_pos, u(7), u(8),
                                           u2(9))
 
-            # opacity passthrough (deviation: consumes a bounce)
-            passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
-            shade_surf = surf & ~passthrough
+            if can_opacity:
+                passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
+                shade_surf = surf & ~passthrough
+            else:  # statically opaque scene: no passthrough draw/masking
+                passthrough = jnp.zeros_like(surf)
+                shade_surf = surf
 
             hit0 = st.hit0 | (shade_surf & (bounce == 0))
             radiance = jnp.where(
@@ -205,7 +241,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
             # volume scatter direction (needed now so the merged light pdf
             # can cover both branches in one walk)
-            if enable_volume:
+            if vol_here:
                 inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
                 incoming_v = jnp.where(
                     (u(3) < 0.5)[..., None], inc_phase, inc_light)
@@ -258,13 +294,16 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 vol_density, vol_scattering = st.vol_density, st.vol_scattering
                 vol_scaniso, vol_emission = st.vol_scaniso, st.vol_emission
 
-            new_o = jnp.where(
-                passthrough[..., None], position + st.ray_d * 1e-2,
-                jnp.where(shade_surf[..., None], position, st.ray_o))
+            if can_opacity:
+                new_o = jnp.where(
+                    passthrough[..., None], position + st.ray_d * 1e-2,
+                    jnp.where(shade_surf[..., None], position, st.ray_o))
+            else:
+                new_o = jnp.where(shade_surf[..., None], position, st.ray_o)
             new_d = jnp.where(shade_surf[..., None], incoming, st.ray_d)
 
             # ======== volume scattering branch (cpp:654-673) ========
-            if enable_volume:
+            if vol_here:
                 # eval_emission(vol, position, outgoing) quirk: "normal" is the
                 # position (cpp:660) — mirror exactly
                 vol_emit = jnp.where(
@@ -321,7 +360,12 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
             for b in range(n_iters):
                 state, _ = bounce_step(state, jnp.int32(b))
         else:
-            state, _ = jax.lax.scan(bounce_step, state, jnp.arange(n_iters))
+            # peel the camera bounce: all rays alive, none inside a volume —
+            # the transmittance/scatter machinery compiles away
+            state = _bounce_live(state, jnp.int32(0), first=True)
+            if n_iters > 1:
+                state, _ = jax.lax.scan(
+                    bounce_step, state, jnp.arange(1, n_iters))
         radiance = state.radiance
         finite = jnp.all(jnp.isfinite(radiance), axis=-1)
         radiance = jnp.where(finite[..., None], radiance, 0.0)

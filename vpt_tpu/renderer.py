@@ -122,7 +122,8 @@ class Renderer:
                 # the reference allows unlimited free crossings (its loop
                 # counter rewinds); 8 extra iterations cover opacity stacks
                 # 8 deep, beyond which the 0.4^8 throughput is invisible
-                opacity_extra=8 if has_opacity else 0)
+                opacity_extra=8 if has_opacity else 0,
+                can_opacity=has_opacity)
         if s == "eyelight":
             return make_eyelight_shader(
                 self.lights, self.n_envs, bounces=p.bounces, seed=p.seed)
