@@ -483,3 +483,73 @@ def test_obj_scene_save_load_roundtrip(tmp_path):
     assert allpos[:, 0].max() > 2.9  # 1 + 2 offset
     types = {MATERIAL_TYPES[m.type] for m in back.materials}
     assert "reflective" in types
+
+
+def test_gltf_scene_save_load_roundtrip(tmp_path):
+    """save_gltf_scene (yocto_sceneio.cpp:2659 parity) round-trips through
+    our glTF importer: geometry, instance frame, pbr material."""
+    import numpy as np
+
+    from vpt_tpu.scene.json_save import save_gltf_scene
+    from vpt_tpu.scene.gltf import load_gltf_scene
+    from vpt_tpu.scene.schema import HostScene, Instance, Material, Shape
+
+    s = HostScene()
+    ID = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32)
+    fr = ID.copy()
+    fr[3] = [0, 0, 2]
+    s.shapes.append(Shape(
+        positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        normals=np.tile(np.float32([0, 0, 1]), (3, 1)),
+        triangles=np.array([[0, 1, 2]], np.int32), name="tri"))
+    s.materials.append(Material(type=7, color=np.float32([0.9, 0.1, 0.1]),
+                                metallic=0.3, roughness=0.4, opacity=1.0))
+    s.instances.append(Instance(frame=fr, shape=0, material=0))
+    out = tmp_path / "scene.gltf"
+    save_gltf_scene(str(out), s)
+    back = load_gltf_scene(str(out))
+    assert back.shapes[0].triangles.shape == (1, 3)
+    np.testing.assert_allclose(back.instances[0].frame[3], [0, 0, 2],
+                               atol=1e-6)
+    np.testing.assert_allclose(back.materials[0].color, [0.9, 0.1, 0.1],
+                               atol=1e-6)
+    assert back.materials[0].metallic == pytest.approx(0.3)
+
+
+def test_pbrt_scene_save_load_roundtrip(tmp_path):
+    """save_pbrt_scene stays within the subset scene/pbrt.py parses."""
+    import numpy as np
+
+    from vpt_tpu.scene.json_save import save_pbrt_scene
+    from vpt_tpu.scene.pbrt import load_pbrt_scene
+    from vpt_tpu.scene.schema import (
+        Camera, Environment, HostScene, Instance, Material, Shape,
+    )
+
+    s = HostScene()
+    ID = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32)
+    cam = ID.copy()
+    cam[3] = [0, 1, 5]
+    s.cameras.append(Camera(frame=cam, lens=0.05, aspect=2.0))
+    s.environments.append(Environment(
+        frame=ID, emission=np.float32([0.2, 0.2, 0.3])))
+    s.shapes.append(Shape(
+        positions=np.array([[-5, 0, -5], [5, 0, -5], [0, 0, 5]], np.float32),
+        triangles=np.array([[0, 1, 2]], np.int32)))
+    s.materials.append(Material(type=0, color=np.float32([0.6, 0.2, 0.2])))
+    s.materials.append(Material(type=0, emission=np.float32([10, 10, 10])))
+    s.instances.append(Instance(frame=ID, shape=0, material=0))
+    fr = ID.copy()
+    fr[3] = [0, 3, 0]
+    s.instances.append(Instance(frame=fr, shape=0, material=1))
+    out = tmp_path / "scene.pbrt"
+    save_pbrt_scene(str(out), s)
+    back = load_pbrt_scene(str(out))
+    assert len(back.instances) == 2
+    assert len(back.environments) == 1
+    emissive = [back.materials[i.material] for i in back.instances
+                if np.any(back.materials[i.material].emission > 0)]
+    assert len(emissive) == 1
+    # baked frame: second instance's triangle translated by +3 in y
+    pos2 = back.shapes[back.instances[1].shape].positions
+    assert pos2[:, 1].min() >= 2.9

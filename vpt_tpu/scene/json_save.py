@@ -306,6 +306,10 @@ def save_scene(path: str, scene) -> None:
         save_json_scene(path, scene)
     elif ext == ".obj":
         save_obj_scene(path, scene)
+    elif ext == ".gltf":
+        save_gltf_scene(path, scene)
+    elif ext == ".pbrt":
+        save_pbrt_scene(path, scene)
     elif ext in (".ply", ".stl"):
         if not scene.shapes:
             raise ValueError(f"{path}: scene has no shapes")
@@ -427,5 +431,171 @@ def save_obj_scene(path: str, scene) -> None:
         voff += pos.shape[0]
         toff += 0 if tc is None else len(tc)
         noff += 0 if nrm is None else len(nrm)
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 scene save (reference save_gltf_scene, yocto_sceneio.cpp:2659):
+# one .bin buffer, positions/normals/texcoords/indices accessors per shape,
+# pbrMetallicRoughness materials, one node per instance with a column-major
+# matrix. Round-trips through scene/gltf.py.
+# ---------------------------------------------------------------------------
+
+def save_gltf_scene(path: str, scene) -> None:
+    from .obj import quads_to_triangles
+
+    dirname = os.path.dirname(path) or "."
+    bin_name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+    blob = bytearray()
+    views, accessors, meshes = [], [], []
+
+    def add_view(data: bytes):
+        off = len(blob)
+        blob.extend(data)
+        blob.extend(b"\x00" * ((-len(blob)) % 4))
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(data)})
+        return len(views) - 1
+
+    def add_accessor(view, ctype, count, atype, arr=None):
+        acc = {"bufferView": view, "componentType": ctype, "count": count,
+               "type": atype}
+        if arr is not None and atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(0)]
+            acc["max"] = [float(x) for x in arr.max(0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    for si, sh in enumerate(scene.shapes):
+        pos = np.asarray(sh.positions, np.float32)
+        attrs = {"POSITION": add_accessor(
+            add_view(pos.tobytes()), 5126, pos.shape[0], "VEC3", pos)}
+        if sh.normals is not None:
+            n = np.asarray(sh.normals, np.float32)
+            attrs["NORMAL"] = add_accessor(
+                add_view(n.tobytes()), 5126, n.shape[0], "VEC3")
+        if sh.texcoords is not None:
+            t = np.asarray(sh.texcoords, np.float32)
+            attrs["TEXCOORD_0"] = add_accessor(
+                add_view(t.tobytes()), 5126, t.shape[0], "VEC2")
+        tris = sh.triangles
+        if (tris is None or len(tris) == 0) and sh.quads is not None:
+            tris = quads_to_triangles(np.asarray(sh.quads))
+        prim = {"attributes": attrs}
+        if tris is not None and len(tris):
+            idx = np.asarray(tris, np.uint32).reshape(-1)
+            prim["indices"] = add_accessor(
+                add_view(idx.tobytes()), 5125, idx.size, "SCALAR")
+        meshes.append({"name": _name(sh, "shape", si),
+                       "primitives": [prim]})
+
+    materials = []
+    for i, m in enumerate(scene.materials):
+        c = np.asarray(m.color, np.float32)
+        el = {"name": _name(m, "material", i),
+              "pbrMetallicRoughness": {
+                  "baseColorFactor": [float(c[0]), float(c[1]), float(c[2]),
+                                      float(m.opacity)],
+                  "metallicFactor": float(m.metallic),
+                  "roughnessFactor": float(m.roughness)}}
+        e = np.asarray(m.emission, np.float32)
+        if np.any(e != 0):
+            el["emissiveFactor"] = [float(min(x, 1.0)) for x in e]
+        materials.append(el)
+
+    nodes = []
+    for ii, inst in enumerate(scene.instances):
+        fr = np.asarray(inst.frame, np.float32)
+        mat4 = np.eye(4, dtype=np.float32)
+        mat4[:3, :3] = fr[:3].T
+        mat4[:3, 3] = fr[3]
+        node = {"name": _name(inst, "instance", ii), "mesh": int(inst.shape),
+                "matrix": [float(x) for x in mat4.T.reshape(-1)]}
+        nodes.append(node)
+        if inst.material >= 0 and meshes[inst.shape]["primitives"][0].get(
+                "material") is None:
+            meshes[inst.shape]["primitives"][0]["material"] = int(
+                inst.material)
+
+    doc = {
+        "asset": {"version": "2.0", "generator": "vpt_tpu"},
+        "buffers": [{"uri": bin_name, "byteLength": len(blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "meshes": meshes,
+        "nodes": nodes,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "scene": 0,
+    }
+    if materials:
+        doc["materials"] = materials
+    with open(os.path.join(dirname, bin_name), "wb") as f:
+        f.write(bytes(blob))
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+# ---------------------------------------------------------------------------
+# PBRT scene save (reference save_pbrt_scene, yocto_sceneio.cpp:2667 — the
+# reference itself documents this path as "not robust at all"): LookAt-less
+# camera via Transform, trianglemesh shapes with baked frames, matte/glass
+# materials, diffuse area lights, infinite light for environments. Stays
+# within the subset scene/pbrt.py parses, so load(save(scene)) round-trips.
+# ---------------------------------------------------------------------------
+
+def save_pbrt_scene(path: str, scene) -> None:
+    from .obj import quads_to_triangles
+
+    out = []
+    if scene.cameras:
+        c = scene.cameras[0]
+        fr = np.asarray(c.frame, np.float32)
+        eye = fr[3]
+        center = fr[3] - fr[2]
+        up = fr[1]
+        out.append("LookAt " + " ".join(
+            f"{v:.8g}" for v in list(eye) + list(center) + list(up)))
+        import math
+
+        fov = 2 * math.degrees(math.atan(
+            0.5 * float(c.film) / max(float(c.aspect), 1.0) / float(c.lens)))
+        out.append(f'Camera "perspective" "float fov" [{fov:.6g}]')
+        w = 720
+        out.append(f'Film "rgb" "integer xresolution" [{w}] '
+                   f'"integer yresolution" [{int(w / float(c.aspect))}]')
+    out.append("WorldBegin")
+    for e in scene.environments:
+        em = np.asarray(e.emission, np.float32)
+        if np.any(em != 0):
+            out.append(f'LightSource "infinite" "rgb L" '
+                       f'[{em[0]:.6g} {em[1]:.6g} {em[2]:.6g}]')
+    for ii, inst in enumerate(scene.instances):
+        sh = scene.shapes[inst.shape]
+        m = scene.materials[inst.material] if inst.material >= 0 else None
+        tris = sh.triangles
+        if (tris is None or len(tris) == 0) and sh.quads is not None:
+            tris = quads_to_triangles(np.asarray(sh.quads))
+        if tris is None or len(tris) == 0:
+            continue
+        fr = np.asarray(inst.frame, np.float32)
+        pos = np.asarray(sh.positions, np.float32) @ fr[:3] + fr[3]
+        out.append("AttributeBegin")
+        if m is not None and np.any(np.asarray(m.emission) != 0):
+            e = np.asarray(m.emission, np.float32)
+            out.append(f'  AreaLightSource "diffuse" "rgb L" '
+                       f'[{e[0]:.6g} {e[1]:.6g} {e[2]:.6g}]')
+        elif m is not None:
+            tname = schema.MATERIAL_TYPES[m.type]
+            c = np.asarray(m.color, np.float32)
+            if tname in ("refractive", "transparent"):
+                out.append('  Material "glass"')
+            else:
+                out.append(f'  Material "matte" "rgb Kd" '
+                           f'[{c[0]:.6g} {c[1]:.6g} {c[2]:.6g}]')
+        p_flat = " ".join(f"{v:.8g}" for v in pos.reshape(-1))
+        i_flat = " ".join(str(int(v)) for v in np.asarray(tris).reshape(-1))
+        out.append(f'  Shape "trianglemesh" "point3 P" [{p_flat}] '
+                   f'"integer indices" [{i_flat}]')
+        out.append("AttributeEnd")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
