@@ -58,7 +58,7 @@ def main():
         jstep = jax.jit(step)
         loss, _ = jstep(r.ds, params, target, jnp.int32(0))
         float(jax.device_get(loss))
-        iters = 8
+        iters = 3
         t0 = time.time()
         for i in range(iters):
             loss, _ = jstep(r.ds, params, target, jnp.int32(i + 1))

@@ -88,8 +88,16 @@ def _multihost(n_max: int):
     import numpy as np
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scene = os.path.join(repo, "goldens", "standins", "nested_media",
-                         "scene.json")
+    # a small scene: the point is distributed-program overhead, and the
+    # virtual devices all share this host's 2 physical cores anyway
+    import tempfile
+
+    scene_dir = tempfile.mkdtemp()
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    from test_distributed import _mini_scene
+    from pathlib import Path
+
+    scene = _mini_scene(Path(scene_dir))
     rows = []
     base = None
     nprocs = 1
