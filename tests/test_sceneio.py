@@ -553,3 +553,30 @@ def test_pbrt_scene_save_load_roundtrip(tmp_path):
     # baked frame: second instance's triangle translated by +3 in y
     pos2 = back.shapes[back.instances[1].shape].positions
     assert pos2[:, 1].min() >= 2.9
+
+
+def test_scene_stats_and_validation():
+    """scene_stats/scene_validation parity (yocto_scene.h:389-392 — present
+    in the reference library, surfaced by our CLI --stats/--validate)."""
+    import numpy as np
+
+    from vpt_tpu.scene.json_io import load_json_scene
+    from vpt_tpu.scene.stats import scene_stats, scene_validation
+
+    s = load_json_scene("/root/reference/tests/03_volume/volume.json")
+    stats = scene_stats(s)
+    d = {line.split(":")[0]: line.split(":")[1].strip() for line in stats}
+    assert int(d["cameras"].replace(",", "")) == 1
+    assert int(d["instances"].replace(",", "")) == len(s.instances)
+    prims = (int(d["triangles"].replace(",", ""))
+             + int(d["quads"].replace(",", "")))
+    assert prims > 0  # 03's shapes are quad meshes
+    assert int(d["memory"].replace(",", "")) > 1000
+    assert scene_validation(s) == []
+
+    # duplicate + dangling refs are reported
+    s.materials[0].name = s.materials[1].name = "dup"
+    s.instances[0].shape = 999
+    errs = scene_validation(s)
+    assert any("duplicated material" in e for e in errs)
+    assert any("invalid shape" in e for e in errs)

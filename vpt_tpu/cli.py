@@ -55,6 +55,10 @@ def main(argv=None):
                          "periodically and at completion")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="samples between checkpoint saves (default: chunk)")
+    ap.add_argument("--stats", action="store_true",
+                    help="print scene statistics after loading")
+    ap.add_argument("--validate", action="store_true",
+                    help="print scene validation errors after loading")
     ap.add_argument("--config", default=None,
                     help="JSON file of option defaults (yocto_cli.h:194 "
                          "add_option_with_config parity); explicit CLI flags "
@@ -104,6 +108,18 @@ def main(argv=None):
 
     renderer = Renderer(args.scene, params, progress=progress,
                         devices=(args.devices or None))
+    if args.stats or args.validate:
+        from .scene.stats import scene_stats, scene_validation
+
+        if args.stats:
+            for line in scene_stats(renderer.scene):
+                sys.stderr.write(line + "\n")
+        if args.validate:
+            errs = scene_validation(renderer.scene)
+            for e in errs:
+                sys.stderr.write(f"validation: {e}\n")
+            if not errs:
+                sys.stderr.write("validation: ok\n")
     sys.stderr.write(
         f"rendering {renderer.width}x{renderer.height} "
         f"{args.samples}spp {args.shader} "
