@@ -133,3 +133,52 @@ def test_live_parameter_edits():
     # unknown word commands are not consumed as camera keys
     assert sess.handle_command("shader nosuch")
     assert sess.params.shader == "eyelight"
+
+
+def test_web_viewer_serves_frames_and_commands():
+    """Browser viewer (viewer_web.py): /frame.png serves the progressive
+    display, /status reports samples, /cmd feeds the same command grammar as
+    the terminal UI (orbit restarts accumulation; live edits rebuild)."""
+    import json
+    import time
+    import urllib.request
+
+    from vpt_tpu.interactive import InteractiveSession
+    from vpt_tpu.renderer import RenderParams
+    from vpt_tpu.scene.testing import make_test_scene
+    from vpt_tpu.viewer_web import ViewerServer
+
+    params = RenderParams(shader="eyelight", samples=4, resolution=24,
+                          bounces=2, pratio=4)
+    sess = InteractiveSession(make_test_scene(sphere_steps=6), params)
+    server = ViewerServer(sess, port=0)
+    port = server.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = json.loads(urllib.request.urlopen(
+                base + "/status", timeout=10).read())
+            if st["samples"] >= 1:
+                break
+            time.sleep(0.3)
+        assert st["samples"] >= 1
+        png = urllib.request.urlopen(base + "/frame.png", timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"vpt_tpu" in page
+        # orbit command restarts accumulation
+        req = urllib.request.Request(base + "/cmd", data=b"a", method="POST")
+        assert urllib.request.urlopen(req, timeout=30).status == 200
+        st2 = json.loads(urllib.request.urlopen(
+            base + "/status", timeout=10).read())
+        assert st2["version"] > st["version"]
+        # live edit through the web path
+        req = urllib.request.Request(base + "/cmd", data=b"bounces 3",
+                                     method="POST")
+        assert urllib.request.urlopen(req, timeout=120).status == 200
+        st3 = json.loads(urllib.request.urlopen(
+            base + "/status", timeout=10).read())
+        assert st3["bounces"] == 3
+    finally:
+        server.stop()

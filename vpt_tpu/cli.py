@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--output", default="out.png", help="output image filename")
     ap.add_argument("--interactive", action="store_true",
                     help="progressive terminal viewer with camera turntable")
+    ap.add_argument("--interactive-web", action="store_true",
+                    help="progressive browser viewer (HTTP on --port)")
+    ap.add_argument("--port", type=int, default=8000,
+                    help="port for --interactive-web")
     ap.add_argument("--pratio", type=int, default=8,
                     help="preview downscale ratio (interactive)")
     ap.add_argument("--shader", default="pathtrace", choices=SHADER_NAMES)
@@ -96,6 +100,11 @@ def main(argv=None):
         from .interactive import run_interactive
 
         run_interactive(args.scene, params, args.output)
+        return
+    if args.interactive_web:
+        from .viewer_web import run_web_viewer
+
+        run_web_viewer(args.scene, params, port=args.port)
         return
 
     t0 = time.time()

@@ -1,0 +1,155 @@
+"""Browser-based interactive viewer — the graphical equivalent of the
+reference's GLFW/ImGui window (run_interactive, ypathtrace.cpp:90-304),
+recast for a headless TPU host: a local HTTP server streams the progressive
+render as PNG frames to an HTML canvas and feeds keyboard/command events
+back into the same InteractiveSession state machine the terminal viewer
+uses (camera turntable, exposure/filmic, live shader/samples/bounces/
+resolution/pratio edits).
+
+Endpoints:
+  GET  /            viewer page
+  GET  /frame.png   current tonemapped display (ETag = version:samples)
+  GET  /status      JSON {samples, version, params}
+  POST /cmd         body = command string (same grammar as the terminal UI)
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+PAGE = """<!doctype html>
+<html><head><title>vpt_tpu viewer</title><style>
+body { background:#111; color:#ccc; font:13px monospace; margin:12px; }
+img { image-rendering:pixelated; border:1px solid #333; max-width:100%; }
+#bar { margin:6px 0; }
+input { background:#222; color:#ccc; border:1px solid #444; width:22em; }
+</style></head><body>
+<div id="bar">vpt_tpu — keys: a/d/w/s orbit, +/- dolly, h/j/k/l pan,
+ e/E exposure, f filmic, r restart &nbsp; <span id="st"></span></div>
+<div><input id="cmd" placeholder="command: shader pathtrace | samples 64 | bounces 8 | resolution 360 | pratio 4"/></div>
+<img id="view" src="/frame.png"/>
+<script>
+const img = document.getElementById("view");
+const st = document.getElementById("st");
+let last = "";
+async function tick() {
+  try {
+    const s = await (await fetch("/status")).json();
+    st.textContent = s.samples + " spp  " + s.width + "x" + s.height;
+    const key = s.version + ":" + s.samples;
+    if (key !== last) { last = key; img.src = "/frame.png?" + key; }
+  } catch (e) {}
+  setTimeout(tick, 250);
+}
+tick();
+function send(c) { fetch("/cmd", {method: "POST", body: c}); }
+document.addEventListener("keydown", (ev) => {
+  if (ev.target.tagName === "INPUT") return;
+  if ("adws+-hjkleEfr123456789".includes(ev.key)) send(ev.key);
+});
+document.getElementById("cmd").addEventListener("keydown", (ev) => {
+  if (ev.key === "Enter") { send(ev.target.value); ev.target.value = ""; }
+});
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Wraps an InteractiveSession with an HTTP frontend + refine worker."""
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
+        self.session = session
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._refine, daemon=True)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                s = outer.session
+                if self.path.startswith("/frame.png"):
+                    disp = s.display
+                    if disp is None:
+                        self._send(503, "text/plain", b"not ready")
+                        return
+                    from .scene.image_io import encode_png
+
+                    rgba = np.concatenate(
+                        [np.clip(disp, 0, 1),
+                         np.ones_like(disp[..., :1])], axis=-1)
+                    self._send(200, "image/png",
+                               encode_png((rgba * 255 + 0.5).astype(np.uint8)))
+                elif self.path.startswith("/status"):
+                    body = json.dumps({
+                        "samples": s.current_samples,
+                        "version": s._version,
+                        "width": s.renderer.width,
+                        "height": s.renderer.height,
+                        "shader": s.params.shader,
+                        "bounces": s.params.bounces,
+                    }).encode()
+                    self._send(200, "application/json", body)
+                else:
+                    self._send(200, "text/html", PAGE.encode())
+
+            def do_POST(self):
+                if not self.path.startswith("/cmd"):
+                    self._send(404, "text/plain", b"")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                cmd = self.rfile.read(n).decode().strip()
+                alive = outer.session.handle_command(cmd)
+                if not alive:
+                    outer._stop.set()
+                self._send(200, "text/plain", b"ok")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._serve = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+
+    def _refine(self):
+        target = self.session.params.samples
+        while not self._stop.is_set():
+            if self.session.current_samples < target:
+                self.session.step(1)
+            else:
+                self._stop.wait(0.1)
+
+    def start(self):
+        self._serve.start()
+        self._worker.start()
+        return self.port
+
+    def stop(self):
+        self._stop.set()
+        self.httpd.shutdown()
+
+
+def run_web_viewer(scene_path: str, params, host: str = "127.0.0.1",
+                   port: int = 8000):
+    from .interactive import InteractiveSession
+
+    session = InteractiveSession(scene_path, params)
+    server = ViewerServer(session, host, port)
+    actual = server.start()
+    print(f"viewer: http://{host}:{actual}/  (ctrl-c to stop)", flush=True)
+    try:
+        while not server._stop.is_set():
+            server._stop.wait(0.5)
+    except KeyboardInterrupt:
+        pass
+    server.stop()
