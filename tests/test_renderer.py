@@ -106,6 +106,11 @@ def test_opacity_passthrough_rewind_parity():
     # expected radiance through the veils ~ (0.6^3 miss-all chance weighted);
     # without rewind, rays die at the first veil crossing and see nothing
     assert lum > 1.0, lum
+    # alpha parity: a camera ray that passes through the veils and shades
+    # the wall is still a first-bounce hit (the reference rewound bounce to
+    # 0), so output alpha must be ~1 everywhere the wall covers — not the
+    # ~0.4 that gating hit0 on the scan iteration index would produce
+    assert np.asarray(img[..., 3]).mean() > 0.95, img[..., 3].mean()
 
     # disarming the rewind (opacity_extra=0) must lose the wall light
     from vpt_tpu.render.integrator import make_path_shader

@@ -73,6 +73,12 @@ def local_shard_bounds(total: int) -> tuple[int, int]:
     per = total // len(devs)
     mine = [i for i, d in enumerate(devs)
             if d.process_index == jax.process_index()]
+    # the slice form assumes this process's devices are a contiguous run in
+    # the global ordering; if a JAX version ever interleaves processes the
+    # returned span would silently cover other processes' shards
+    assert max(mine) - min(mine) + 1 == len(mine), (
+        "process devices are not contiguous in jax.devices(); "
+        f"indices={mine}")
     return min(mine) * per, (max(mine) + 1) * per
 
 

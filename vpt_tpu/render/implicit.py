@@ -110,7 +110,8 @@ def make_implicit_shader(lights, n_envs: int, *, params, normal_only=False):
             delta = B.is_delta(mat)
             bsdf_prob = 1.0 if no_mis else 0.5
             inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5))
-            inc_light = sample_lights(ds, lights, position, u(7), u(8), u2(9))
+            inc_light = sample_lights(ds, lights, position, u(7), u(8), u2(9),
+                                      racc=u(12))
             use_bsdf = u(3) < bsdf_prob
             incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
             f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd)

@@ -121,6 +121,11 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
     """
     mat_types = frozenset(mat_types)
     tex_slots = frozenset(tex_slots)
+    # the volume-scatter branch needs the merged light sample/pdf machinery;
+    # without MIS it would reference draws that are never made (the
+    # reference has no naive/non-MIS volumetric shader either)
+    assert not (enable_volume and (naive or not mis)), (
+        "enable_volume requires mis=True, naive=False")
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         R = ray_o.shape[0]
@@ -214,7 +219,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 light_pos = position
             if mis and not naive:
                 inc_light = sample_lights(ds, lights, light_pos, u(7), u(8),
-                                          u2(9))
+                                          u2(9), racc=u(12))
 
             if can_opacity:
                 passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
@@ -223,7 +228,13 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 passthrough = jnp.zeros_like(surf)
                 shade_surf = surf
 
-            hit0 = st.hit0 | (shade_surf & (bounce == 0))
+            # alpha parity: the reference rewinds its bounce counter on
+            # opacity passthrough (cpp:607-611), so a camera ray that passes
+            # through a semi-transparent surface and shades a real surface
+            # later still counts as a first-bounce hit. With the rewind
+            # machinery armed, gate on the real-bounce counter.
+            first_real = (st.nbounce == 0) if opacity_extra else (bounce == 0)
+            hit0 = st.hit0 | (shade_surf & first_real)
             radiance = jnp.where(
                 shade_surf[..., None],
                 radiance + weight * B.eval_emission(mat, normal, outgoing),

@@ -106,8 +106,14 @@ def _alias_pick(ds, light, r, accept):
     return jnp.where(accept < cut, i, ai)
 
 
-def sample_lights(ds, lights, position, rl, rel, ruv):
-    """Direction toward a uniformly-chosen light (cpp:312-350)."""
+def sample_lights(ds, lights, position, rl, rel, ruv, racc=None):
+    """Direction toward a uniformly-chosen light (cpp:312-350).
+
+    racc: dedicated uniform for the alias-table accept bit. When None, the
+    instance branch reuses frac(rel*n) — fine for small element counts, but
+    above ~2^14 elements the fraction has too few mantissa bits left and
+    the accept decision quantizes, biasing element selection vs the MIS
+    pdf. Integrators pass a fresh draw."""
     L = len(lights)
     if L == 0:
         return jnp.zeros_like(position)
@@ -116,13 +122,13 @@ def sample_lights(ds, lights, position, rl, rel, ruv):
     for k, light in enumerate(lights):
         sel = (lid == k)[..., None]
         if light.kind == KIND_INSTANCE:
-            # element draw: alias table keyed on rel, accept bit from the
-            # fractional part (element counts are small, so the ~10 mantissa
-            # bits left in the fraction are ample)
+            # element draw: alias table keyed on rel; accept bit from the
+            # dedicated uniform when provided, else the fractional part
             n = light.cdf_hi - light.cdf_lo
             x = jnp.clip(rel * n, 0.0, n - 1e-4)
             frac = x - jnp.floor(x)
-            elem = _alias_pick(ds, light, rel, frac)
+            elem = _alias_pick(ds, light, rel,
+                               frac if racc is None else racc)
             v = ds.light_tris[light.tri_lo + elem]
             uv = sample_triangle_uv(ruv)
             lpos = interpolate_triangle(v[..., 0, :], v[..., 1, :], v[..., 2, :], uv)

@@ -355,6 +355,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # truncate drained bits: without this the accumulator grows into an
+        # ever-larger bigint and every shift becomes O(stream size)
+        # (quadratic encode for megapixel images)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:
