@@ -285,18 +285,97 @@ def set_traversal_backend(name: str | None):
 
 KIND_TRI, KIND_LINE, KIND_POINT = 0, 1, 2
 
+_MORTON_BITS = 5
 
-def intersect_scene(ds, ray_o, ray_d, tmax=None, tmin=RAY_EPS, alive=None):
+
+def _ray_sort_key(bb, ray_o, ray_d, alive):
+    """Traversal-coherence key: origin Morton cell (high bits) + direction
+    octant (low bits); dead rays sort to the back so whole packet blocks go
+    dead and exit immediately. Round-4: the round-3 write-off of sorting
+    ("argsort costs 12 ms/54k keys", PERF.md r3 §3) was wrong — measured
+    ~1 ms; sorting + packed permute wins ~25% on incoherent packets and
+    ~30% on partially-dead ones (tools/exp_sort.py)."""
+    ext = jnp.maximum(bb[1] - bb[0], 1e-20)
+    n = 1 << _MORTON_BITS
+    q = jnp.clip(((ray_o - bb[0]) / ext * n).astype(jnp.int32), 0, n - 1)
+
+    def spread(v):
+        out = jnp.zeros_like(v)
+        for b in range(_MORTON_BITS):
+            out = out | (((v >> b) & 1) << (3 * b))
+        return out
+
+    m = spread(q[..., 0]) | (spread(q[..., 1]) << 1) | (spread(q[..., 2]) << 2)
+    octant = ((ray_d[..., 0] < 0).astype(jnp.int32)
+              | ((ray_d[..., 1] < 0).astype(jnp.int32) << 1)
+              | ((ray_d[..., 2] < 0).astype(jnp.int32) << 2))
+    key = (m << 3) | octant
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1) << 30)
+    return key
+
+
+def _intersect_pallas_sorted(ds, ray_o, ray_d, tmax, tmin, alive, ls):
+    from .bvh_pallas import NEG_INF, intersect_bvh_pallas
+
+    R = ray_o.shape[0]
+    # traversal is gradient-free by design (zero-vjp custom rule); cutting
+    # the tape here keeps XLA from emitting dead scatter-adds for the
+    # permutes' backward
+    ray_o = jax.lax.stop_gradient(ray_o)
+    ray_d = jax.lax.stop_gradient(ray_d)
+    cap = jnp.full((R,), FLT_MAX, jnp.float32) if tmax is None else (
+        jax.lax.stop_gradient(jnp.minimum(tmax, FLT_MAX)))
+    if alive is not None:
+        cap = jnp.where(alive, cap, NEG_INF)
+    key = _ray_sort_key(ds.scene_bb, ray_o, ray_d, alive)
+    order = jnp.argsort(key)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    inv = jnp.zeros((R,), jnp.int32).at[order].set(iota)
+    # one packed permute in, one packed un-permute out (a 54k-row gather
+    # costs ~1 ms regardless of row width — PERF.md)
+    packed = jnp.concatenate([ray_o, ray_d, cap[:, None]], axis=1)
+    ps = jnp.take(packed, order, axis=0)
+    isect = intersect_bvh_pallas(
+        ds.bvh_packed, ps[:, 0:3], ps[:, 3:6], tmax=ps[:, 6], tmin=tmin,
+        ls=ls)
+    out_pack = jnp.concatenate(
+        [isect["dist"][:, None], isect["uv"],
+         jax.lax.bitcast_convert_type(isect["tri"], jnp.float32)[:, None]],
+        axis=1)
+    ou = jnp.take(out_pack, inv, axis=0)
+    tri = jax.lax.bitcast_convert_type(ou[:, 3], jnp.int32)
+    hit = tri >= 0
+    return {
+        "hit": hit,
+        "dist": jnp.where(hit, ou[:, 0], FLT_MAX),
+        "tri": tri,
+        "uv": ou[:, 1:3],
+    }
+
+
+def intersect_scene(ds, ray_o, ray_d, tmax=None, tmin=RAY_EPS, alive=None,
+                    sort_rays=False):
     """Closest-hit against the scene: triangle BVH (Pallas packet kernel on
     TPU, XLA traversal elsewhere), then line/point primitives brute-force
     (statically skipped when the scene has none — all reference test
-    scenes). Returns dict(hit, dist, tri, uv[, kind, prim])."""
+    scenes). Returns dict(hit, dist, tri, uv[, kind, prim]).
+
+    sort_rays: permute rays into (origin-Morton, direction-octant) order
+    before the packet kernel and un-permute the results — integrators set
+    this for bounce rays (incoherent); camera rays are already coherent."""
     if traversal_backend() == "pallas":
         from .bvh_pallas import intersect_bvh_pallas
 
-        isect = intersect_bvh_pallas(
-            ds.bvh_packed, ray_o, ray_d, tmax=tmax, tmin=tmin, alive=alive,
-            ls=int(ds.bvh.leaf_rec.shape[1]) // 10)
+        ls = int(ds.bvh.leaf_rec.shape[1]) // 10
+        if (sort_rays and getattr(ds, "scene_bb", None) is not None
+                and int(ray_o.shape[0]) >= 4096):
+            isect = _intersect_pallas_sorted(
+                ds, ray_o, ray_d, tmax, tmin, alive, ls)
+        else:
+            isect = intersect_bvh_pallas(
+                ds.bvh_packed, ray_o, ray_d, tmax=tmax, tmin=tmin,
+                alive=alive, ls=ls)
     else:
         isect = intersect_bvh(ds.bvh, ds.tri_pos, ray_o, ray_d, tmax=tmax,
                               tmin=tmin, alive=alive)

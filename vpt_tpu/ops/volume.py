@@ -28,7 +28,11 @@ def eval_transmittance(density, distance):
 def sample_transmittance(density, max_distance, rl, rd):
     """Channel-uniform distance sampling (yocto_shading.h:1052-1058)."""
     channel = jnp.clip((rl * 3.0).astype(jnp.int32), 0, 2)
-    sigma = jnp.take_along_axis(density, channel[..., None], axis=-1)[..., 0]
+    # one-hot select instead of take_along_axis: the (R,)-indexed gather was
+    # a measurable sink (~3 ms/step in the round-3 trace); the select is free
+    oh = (channel[..., None] == jnp.arange(3, dtype=channel.dtype)).astype(
+        density.dtype)
+    sigma = jnp.sum(density * oh, axis=-1)
     dist = jnp.where(
         sigma == 0.0,
         FLT_MAX,

@@ -100,7 +100,8 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
                      naive: bool = False, seed: int = 1301081,
                      mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS,
-                     opacity_extra: int = 0, can_opacity: bool = True):
+                     opacity_extra: int = 0, can_opacity: bool = True,
+                     env_meta=None):
     """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
@@ -169,10 +170,11 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                 # rays whose real-bounce budget is spent stop cold (the
                 # reference loop exits before tracing another ray)
                 st = st._replace(alive=st.alive & (st.nbounce < bounces))
-            isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive)
+            isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive,
+                                    sort_rays=not first)
             hit = isect["hit"]
             # environment on miss
-            env = SE.eval_environment(ds, st.ray_d, n_envs)
+            env = SE.eval_environment(ds, st.ray_d, n_envs, env_meta)
             radiance = jnp.where(
                 (st.alive & ~hit)[..., None], st.radiance + st.weight * env,
                 st.radiance)
@@ -386,7 +388,7 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
 
 
 def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
-                         seed: int = 1301081):
+                         seed: int = 1301081, env_meta=None):
     """shade_eyelight (cpp:835-890): pif * bsdfcos(out, out), follows delta
     chains up to max(bounces, 4)."""
 
@@ -400,7 +402,7 @@ def make_eyelight_shader(lights, n_envs: int, *, bounces: int = 4,
             o, d, radiance, weight, alive, hit0 = c
             isect = intersect_scene(ds, o, d, alive=alive)
             hit = isect["hit"]
-            env = SE.eval_environment(ds, d, n_envs)
+            env = SE.eval_environment(ds, d, n_envs, env_meta)
             radiance = jnp.where(
                 (alive & ~hit)[..., None], radiance + weight * env, radiance)
             alive = alive & hit

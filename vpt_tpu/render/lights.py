@@ -98,46 +98,100 @@ def build_lights_static(sa) -> list:
 def _alias_pick(ds, light, r, accept):
     """O(1) categorical draw from light's alias table (core/alias.py):
     r selects the column, `accept` decides keep-vs-redirect. Reproduces the
-    CDF's distribution exactly; replaces searchsorted over per-texel CDFs."""
+    CDF's distribution exactly; replaces searchsorted over per-texel CDFs.
+    Uses the packed [cut, idx] rows when available (one gather per draw,
+    PERF.md round-4)."""
     n = light.cdf_hi - light.cdf_lo
     i = jnp.clip((r * n).astype(jnp.int32), 0, n - 1)
-    cut = ds.light_alias_cut[light.cdf_lo + i]
-    ai = ds.light_alias_idx[light.cdf_lo + i]
+    pack = getattr(ds, "light_alias_pack", None)
+    if pack is not None:
+        row = jnp.take(pack, light.cdf_lo + i, axis=0, mode="clip")
+        cut = row[..., 0]
+        ai = jnp.round(row[..., 1]).astype(jnp.int32)
+    else:
+        cut = ds.light_alias_cut[light.cdf_lo + i]
+        ai = ds.light_alias_idx[light.cdf_lo + i]
     return jnp.where(accept < cut, i, ai)
+
+
+def _accept_bit(light, rel, ruv, racc):
+    """Accept uniform for the alias draw: dedicated when provided; else the
+    instance branch reuses frac(rel*n) (ample below ~2^14 elements) and the
+    env branch uses ruv[...,0] (unused there — rel*n at n~2M leaves too few
+    fraction bits)."""
+    if light.kind != KIND_INSTANCE:
+        return ruv[..., 0]
+    if racc is not None:
+        return racc
+    n = light.cdf_hi - light.cdf_lo
+    x = jnp.clip(rel * n, 0.0, n - 1e-4)
+    return x - jnp.floor(x)
 
 
 def sample_lights(ds, lights, position, rl, rel, ruv, racc=None):
     """Direction toward a uniformly-chosen light (cpp:312-350).
 
-    racc: dedicated uniform for the alias-table accept bit. When None, the
-    instance branch reuses frac(rel*n) — fine for small element counts, but
-    above ~2^14 elements the fraction has too few mantissa bits left and
-    the accept decision quantizes, biasing element selection vs the MIS
-    pdf. Integrators pass a fresh draw."""
+    Exactly one light applies per ray, so the alias-table rows of ALL
+    alias-sampled lights merge into ONE gather (offsets selected by the
+    light id), and all instance lights share ONE light_tris gather —
+    2 total gathers where the per-light loop paid 2 per light (round-4
+    gather-count reduction).
+
+    racc: dedicated uniform for the alias-table accept bit (see
+    _accept_bit)."""
     L = len(lights)
     if L == 0:
         return jnp.zeros_like(position)
     lid = jnp.clip((rl * L).astype(jnp.int32), 0, L - 1)
     out = jnp.zeros_like(position)
-    for k, light in enumerate(lights):
-        sel = (lid == k)[..., None]
-        if light.kind == KIND_INSTANCE:
-            # element draw: alias table keyed on rel; accept bit from the
-            # dedicated uniform when provided, else the fractional part
+
+    pack = getattr(ds, "light_alias_pack", None)
+    alias_ks = [k for k, l in enumerate(lights)
+                if l.kind == KIND_INSTANCE
+                or (l.kind == KIND_ENV and l.env_tex >= 0)]
+    elem_all = None
+    if pack is not None and alias_ks:
+        sh = position.shape[:-1]
+        gidx = jnp.zeros(sh, jnp.int32)
+        isel = jnp.zeros(sh, jnp.int32)
+        acc = jnp.zeros(sh, position.dtype)
+        for k in alias_ks:
+            light = lights[k]
+            sel = lid == k
             n = light.cdf_hi - light.cdf_lo
-            x = jnp.clip(rel * n, 0.0, n - 1e-4)
-            frac = x - jnp.floor(x)
-            elem = _alias_pick(ds, light, rel,
-                               frac if racc is None else racc)
-            v = ds.light_tris[light.tri_lo + elem]
-            uv = sample_triangle_uv(ruv)
-            lpos = interpolate_triangle(v[..., 0, :], v[..., 1, :], v[..., 2, :], uv)
-            d = normalize(lpos - position)
-        elif light.kind == KIND_ENV and light.env_tex >= 0:
-            # texel draw over the (w*h)-entry luminance CDF: alias table;
-            # the accept uniform is ruv[...,0] (unused by this branch —
-            # rel*n at n~2M leaves too few fraction bits)
-            idx = _alias_pick(ds, light, rel, ruv[..., 0])
+            i = jnp.clip((rel * n).astype(jnp.int32), 0, n - 1)
+            gidx = jnp.where(sel, light.cdf_lo + i, gidx)
+            isel = jnp.where(sel, i, isel)
+            acc = jnp.where(sel, _accept_bit(light, rel, ruv, racc), acc)
+        row = jnp.take(pack, gidx, axis=0, mode="clip")
+        elem_all = jnp.where(acc < row[..., 0], isel,
+                             jnp.round(row[..., 1]).astype(jnp.int32))
+
+    # instance lights: select the triangle row per ray, gather once
+    inst_ks = [k for k, l in enumerate(lights) if l.kind == KIND_INSTANCE]
+    if inst_ks:
+        tri_row = jnp.zeros(position.shape[:-1], jnp.int32)
+        inst_sel = jnp.zeros(position.shape[:-1], bool)
+        for k in inst_ks:
+            light = lights[k]
+            sel = lid == k
+            elem = elem_all if elem_all is not None else _alias_pick(
+                ds, light, rel, _accept_bit(light, rel, ruv, racc))
+            tri_row = jnp.where(sel, light.tri_lo + elem, tri_row)
+            inst_sel = inst_sel | sel
+        v = jnp.take(ds.light_tris, tri_row, axis=0, mode="clip")
+        uv = sample_triangle_uv(ruv)
+        lpos = interpolate_triangle(v[..., 0, :], v[..., 1, :], v[..., 2, :], uv)
+        out = jnp.where(inst_sel[..., None], normalize(lpos - position), out)
+
+    for k, light in enumerate(lights):
+        if light.kind == KIND_INSTANCE:
+            continue
+        sel = (lid == k)[..., None]
+        if light.kind == KIND_ENV and light.env_tex >= 0:
+            # texel draw over the (w*h)-entry luminance CDF
+            idx = elem_all if elem_all is not None else _alias_pick(
+                ds, light, rel, ruv[..., 0])
             w, h = light.env_w, light.env_h
             u = ((idx % w).astype(jnp.float32) + 0.5) / w
             vcoord = ((idx // w).astype(jnp.float32) + 0.5) / h
@@ -217,11 +271,18 @@ def sample_lights_pdf(ds, lights, position, direction, spheretrace_fn=None):
             w, h = light.env_w, light.env_h
             i = jnp.clip((tx * w).astype(jnp.int32), 0, w - 1)
             j = jnp.clip((ty * h).astype(jnp.int32), 0, h - 1)
-            cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
             idx = j * w + i
-            hi = cdf[idx]
-            lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
-            prob = (hi - lo) / cdf[-1]
+            prob_tab = getattr(ds, "light_pdf_prob", None)
+            if prob_tab is not None:
+                # precomputed per-texel probability: one gather instead of
+                # the cdf hi/lo pair
+                prob = jnp.take(prob_tab, light.cdf_lo + idx, axis=0,
+                                mode="clip")
+            else:
+                cdf = ds.light_cdf[light.cdf_lo:light.cdf_hi]
+                hi = cdf[idx]
+                lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+                prob = (hi - lo) / cdf[-1]
             angle = (2 * PIF / w) * (PIF / h) * jnp.sin(PIF * (j + 0.5) / h)
             pdf = pdf + prob / jnp.maximum(angle, 1e-12)
         elif light.kind == KIND_ENV:

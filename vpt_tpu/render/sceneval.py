@@ -10,6 +10,7 @@ SceneArrays pytree (jnp leaves) and batched hit records (tri, uv).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import (
@@ -31,7 +32,7 @@ from ..ops.bsdf import (
     VOLUMETRIC,
     MaterialPoint,
 )
-from ..ops.texture import eval_texture
+from ..ops.texture import eval_texture, eval_texture_meta
 
 PIF = jnp.pi
 
@@ -40,22 +41,79 @@ PIF = jnp.pi
 ALL_TEX_SLOTS = frozenset(
     ("emission", "color", "roughness", "scattering", "normal"))
 
+# material tables switch from per-field gathers to one-hot matmuls below
+# this material count: the (R, M) one-hot contraction runs on the MXU in
+# microseconds AND its transpose (the backward pass) is a matmul instead of
+# the 54k-row scatter-adds that dominated the round-3 backward scan
+MAX_ONEHOT_MATS = 64
+
+# mat_tex_meta slot order (scene/flatten.py)
+_SLOT_IDX = {"emission": 0, "color": 1, "roughness": 2, "scattering": 3,
+             "normal": 4}
+
+
+def _use_wide(ds) -> bool:
+    return getattr(ds, "tri_wide", None) is not None
+
+
+def _wide_row(ds, tri):
+    """One (T, 25) gather carrying positions+normals+texcoords+mat id;
+    XLA CSEs the identical take across eval_* calls in a bounce."""
+    return jnp.take(ds.tri_wide, tri, axis=0, mode="clip")
+
 
 def _tri_verts(ds, tri):
+    if _use_wide(ds):
+        row = _wide_row(ds, tri)
+        return row[..., 0:3], row[..., 3:6], row[..., 6:9]
     v = ds.tri_pos[tri]  # (..., 3, 3)
     return v[..., 0, :], v[..., 1, :], v[..., 2, :]
 
 
 def _tri_attrs(ds, tri):
-    """One (tri_meta, vert_attr) gather pair for everything a hit needs:
-    returns (mat_id, normals (..,3,3), texcoords (..,3,2), colors (..,3,4)).
-    XLA CSEs this across eval_* calls in the same program, so a bounce pays
-    one corner-attribute gather instead of three."""
+    """Everything a hit needs in one gather (two when the scene has vertex
+    colors): returns (mat_id, normals (..,3,3), texcoords (..,3,2),
+    colors (..,3,4))."""
+    if _use_wide(ds):
+        row = _wide_row(ds, tri)
+        n = row[..., 9:18].reshape(row.shape[:-1] + (3, 3))
+        t = row[..., 18:24].reshape(row.shape[:-1] + (3, 2))
+        mat_id = jnp.round(row[..., 24]).astype(jnp.int32)
+        if getattr(ds, "tri_colw", None) is not None:
+            c = jnp.take(ds.tri_colw, tri, axis=0, mode="clip").reshape(
+                row.shape[:-1] + (3, 4))
+        else:  # statically colorless scene: no gather at all
+            c = jnp.ones(row.shape[:-1] + (3, 4), row.dtype)
+        return mat_id, n, t, c
     meta = ds.tri_meta[tri]           # (..., 4)
     vidx = meta[..., :3]
     mat_id = meta[..., 3]
     va = ds.vert_attr[vidx]           # (..., 3, 9)
     return mat_id, va[..., 0:3], va[..., 3:5], va[..., 5:9]
+
+
+def _use_onehot(ds) -> bool:
+    return (int(ds.mat_type.shape[0]) <= MAX_ONEHOT_MATS
+            and getattr(ds, "mat_tex_meta", None) is not None)
+
+
+def _mat_onehot(ds, mat_id):
+    M = int(ds.mat_type.shape[0])
+    return (mat_id[..., None] == jnp.arange(M, dtype=mat_id.dtype)).astype(
+        jnp.float32)
+
+
+def _slot_meta(ds, oh, slot: str):
+    """Per-ray texture metadata for a material slot via the one-hot matmul:
+    returns (off, w, h, linear) with off < 0 marking unbound."""
+    s = _SLOT_IDX[slot]
+    m = oh @ ds.mat_tex_meta[:, s * 5:(s + 1) * 5]
+    off = (jnp.round(m[..., 0]).astype(jnp.int32) * 65536
+           + jnp.round(m[..., 1]).astype(jnp.int32))
+    w = jnp.round(m[..., 2]).astype(jnp.int32)
+    h = jnp.round(m[..., 3]).astype(jnp.int32)
+    lin = m[..., 4] > 0.5
+    return off, w, h, lin
 
 
 def eval_position(ds, tri, uv):
@@ -110,15 +168,23 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
     if present, refractive keeps orientation, others face-forward."""
     normal = eval_normal(ds, tri, uv)
     mat_id = _tri_attrs(ds, tri)[0]
+    use_oh = _use_onehot(ds)
+    oh = _mat_onehot(ds, mat_id) if use_oh else None
     if "normal" in tex_slots:
-        normal_tex = ds.mat_normal_tex[mat_id]
-        has_nm = normal_tex >= 0
-
         texcoord = eval_texcoord(ds, tri, uv)
-        nm_rgba = eval_texture(
-            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
-            ds.tex_linear, normal_tex, texcoord, as_linear=False,
-        )
+        if use_oh:
+            off, w, h, lin = _slot_meta(ds, oh, "normal")
+            has_nm = off >= 0
+            nm_rgba = eval_texture_meta(
+                ds.tex_pixels, getattr(ds, "tex_pixels_pair", None),
+                off, w, h, lin, texcoord, as_linear=False)
+        else:
+            normal_tex = ds.mat_normal_tex[mat_id]
+            has_nm = normal_tex >= 0
+            nm_rgba = eval_texture(
+                ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+                ds.tex_linear, normal_tex, texcoord, as_linear=False,
+            )
         normalmap = -1.0 + 2.0 * nm_rgba[..., :3]
         p0, p1, p2 = _tri_verts(ds, tri)
         tc = _tri_attrs(ds, tri)[2]
@@ -136,7 +202,10 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
         )
         normal = jnp.where(has_nm[..., None], mapped, normal)
 
-    is_refr = ds.mat_type[mat_id] == REFRACTIVE
+    if use_oh:
+        is_refr = (oh @ (ds.mat_type == REFRACTIVE).astype(jnp.float32)) > 0.5
+    else:
+        is_refr = ds.mat_type[mat_id] == REFRACTIVE
     forward = jnp.where((dot(normal, outgoing) >= 0.0)[..., None], normal, -normal)
     return jnp.where(is_refr[..., None], normal, forward)
 
@@ -149,35 +218,60 @@ def eval_material(ds, tri, uv, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     return _material_from(ds, mat_id, texcoord, color_shp, tex_slots)
 
 
+_SLOT_IDS = {
+    "emission": "mat_emission_tex", "color": "mat_color_tex",
+    "roughness": "mat_roughness_tex", "scattering": "mat_scattering_tex",
+    "normal": "mat_normal_tex"}
+
+
 def _material_from(ds, mat_id, texcoord, color_shp,
                    tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
-    def tex(slot, tid, as_linear):
-        if slot not in tex_slots:  # static: no material binds this slot
-            return None
-        return eval_texture(
-            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
-            ds.tex_linear, tid, texcoord, as_linear=as_linear,
-        )
+    if _use_onehot(ds):
+        # one-hot matmul material eval: one (R, M) contraction feeds every
+        # field (forward: MXU microseconds instead of ~15 row gathers;
+        # backward: transposed matmul instead of 54k-row scatter-adds)
+        oh = _mat_onehot(ds, mat_id)
+        g1 = lambda a: oh @ a.astype(jnp.float32)
+        mtype = jnp.round(g1(ds.mat_type)).astype(jnp.int32)
 
-    emission_tex = tex("emission", ds.mat_emission_tex[mat_id], True)
-    color_tex = tex("color", ds.mat_color_tex[mat_id], True)
-    roughness_tex = tex("roughness", ds.mat_roughness_tex[mat_id], False)
-    scattering_tex = tex("scattering", ds.mat_scattering_tex[mat_id], True)
+        def tex(slot, as_linear):
+            if slot not in tex_slots:  # static: no material binds this slot
+                return None
+            off, w, h, lin = _slot_meta(ds, oh, slot)
+            return eval_texture_meta(
+                ds.tex_pixels, getattr(ds, "tex_pixels_pair", None),
+                off, w, h, lin, texcoord, as_linear)
+    else:
+        g1 = lambda a: a[mat_id]
+        mtype = ds.mat_type[mat_id]
+
+        def tex(slot, as_linear):
+            if slot not in tex_slots:
+                return None
+            tid = getattr(ds, _SLOT_IDS[slot])[mat_id]
+            return eval_texture(
+                ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+                ds.tex_linear, tid, texcoord, as_linear=as_linear,
+            )
+
+    emission_tex = tex("emission", True)
+    color_tex = tex("color", True)
+    roughness_tex = tex("roughness", False)
+    scattering_tex = tex("scattering", True)
 
     def mul(base, t, ch):
         return base if t is None else base * t[..., ch]
 
-    mtype = ds.mat_type[mat_id]
-    emission = mul(ds.mat_emission[mat_id], emission_tex, slice(0, 3))
-    color = mul(ds.mat_color[mat_id], color_tex, slice(0, 3)) * color_shp[..., :3]
-    opacity = mul(ds.mat_opacity[mat_id], color_tex, 3) * color_shp[..., 3]
-    metallic = mul(ds.mat_metallic[mat_id], roughness_tex, 2)
-    roughness = mul(ds.mat_roughness[mat_id], roughness_tex, 1)
+    emission = mul(g1(ds.mat_emission), emission_tex, slice(0, 3))
+    color = mul(g1(ds.mat_color), color_tex, slice(0, 3)) * color_shp[..., :3]
+    opacity = mul(g1(ds.mat_opacity), color_tex, 3) * color_shp[..., 3]
+    metallic = mul(g1(ds.mat_metallic), roughness_tex, 2)
+    roughness = mul(g1(ds.mat_roughness), roughness_tex, 1)
     roughness = roughness * roughness
-    ior = ds.mat_ior[mat_id]
-    scattering = mul(ds.mat_scattering[mat_id], scattering_tex, slice(0, 3))
-    scanisotropy = ds.mat_scanisotropy[mat_id]
-    trdepth = ds.mat_trdepth[mat_id]
+    ior = g1(ds.mat_ior)
+    scattering = mul(g1(ds.mat_scattering), scattering_tex, slice(0, 3))
+    scanisotropy = g1(ds.mat_scanisotropy)
+    trdepth = g1(ds.mat_trdepth)
 
     volumetric_like = (
         (mtype == REFRACTIVE) | (mtype == VOLUMETRIC) | (mtype == SUBSURFACE)
@@ -300,8 +394,13 @@ def eval_hit_material(ds, isect, tex_slots=ALL_TEX_SLOTS) -> MaterialPoint:
     return _material_from(ds, mat_id, texcoord, color_shp, tex_slots)
 
 
-def eval_environment(ds, direction, n_envs: int):
-    """Sum of all environments (yocto_scene.cpp:634-651). n_envs is static."""
+def eval_environment(ds, direction, n_envs: int, env_meta=None):
+    """Sum of all environments (yocto_scene.cpp:634-651). n_envs is static.
+
+    env_meta: optional per-env static metadata [(off, w, h, linear) | None]
+    computed host-side (renderer) — the environment's texture id is known at
+    trace time, so its metadata lookups fold into constants and the
+    pair-packed atlas halves the bilinear taps."""
     total = jnp.zeros(direction.shape[:-1] + (3,), direction.dtype)
     for e in range(n_envs):
         frame = ds.env_frame[e]
@@ -310,10 +409,17 @@ def eval_environment(ds, direction, n_envs: int):
         tx = jnp.where(tx < 0, tx + 1.0, tx)
         ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF
         texcoord = jnp.stack([tx, ty], axis=-1)
-        emis = eval_texture(
-            ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
-            ds.tex_linear, jnp.broadcast_to(ds.env_tex[e], tx.shape), texcoord,
-            as_linear=False,
-        )
+        if env_meta is not None and env_meta[e] is not None:
+            off, w, h, lin = env_meta[e]
+            emis = eval_texture_meta(
+                ds.tex_pixels, getattr(ds, "tex_pixels_pair", None),
+                int(off), int(w), int(h), bool(lin), texcoord,
+                as_linear=False)
+        else:
+            emis = eval_texture(
+                ds.tex_pixels, ds.tex_offset, ds.tex_width, ds.tex_height,
+                ds.tex_linear, jnp.broadcast_to(ds.env_tex[e], tx.shape),
+                texcoord, as_linear=False,
+            )
         total = total + ds.env_emission[e] * emis[..., :3]
     return total

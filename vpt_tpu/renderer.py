@@ -87,6 +87,23 @@ class Renderer:
         self._step = None
         self._chunk = None
 
+    def _env_meta(self):
+        """Static per-environment texture metadata (off, w, h, linear):
+        known at trace time, so the shader folds env addressing into
+        constants and skips the per-ray metadata gathers."""
+        import numpy as _np
+
+        a = self.arrays
+        out = []
+        for t in _np.asarray(a.env_tex):
+            t = int(t)
+            if t >= 0:
+                out.append((int(a.tex_offset[t]), int(a.tex_width[t]),
+                            int(a.tex_height[t]), bool(a.tex_linear[t])))
+            else:
+                out.append(None)
+        return out
+
     def _make_shader(self):
         """Shader factories return shade(ds, o, d, pixel, sample)."""
         p = self.params
@@ -123,10 +140,11 @@ class Renderer:
                 # counter rewinds); 8 extra iterations cover opacity stacks
                 # 8 deep, beyond which the 0.4^8 throughput is invisible
                 opacity_extra=8 if has_opacity else 0,
-                can_opacity=has_opacity)
+                can_opacity=has_opacity, env_meta=self._env_meta())
         if s == "eyelight":
             return make_eyelight_shader(
-                self.lights, self.n_envs, bounces=p.bounces, seed=p.seed)
+                self.lights, self.n_envs, bounces=p.bounces, seed=p.seed,
+                env_meta=self._env_meta())
         if s in ("normal", "texcoord", "color"):
             return make_debug_shader(self.n_envs, s)
         if s in ("implicit", "implicit_normal"):

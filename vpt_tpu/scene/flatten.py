@@ -134,6 +134,32 @@ class SceneArrays(NamedTuple):
     cam_focus: np.ndarray
     cam_aperture: np.ndarray
     cam_ortho: np.ndarray     # (C,) int32
+    # ---- round-4 hot-path layouts (gather-count reduction, PERF.md §2:
+    # a 54k-row gather costs ~1 ms regardless of table size or row width,
+    # so the shading body's cost is ~the NUMBER of gathers) ----
+    # one row per triangle: [pos0..2 (9) | n0..2 (9) | tc0..2 (6) | mat (1)]
+    # -> ONE gather replaces tri_pos + vert_attr x3 corners + tri_meta.
+    # None when the scene exceeds the memory gate (falls back to the
+    # per-vertex tables above).
+    tri_wide: np.ndarray | None = None      # (T, 25) f32
+    # per-triangle corner colors, built only when any vertex color != 1
+    # (scenes without vertex colors skip the gather statically)
+    tri_colw: np.ndarray | None = None      # (T, 12) f32
+    # pair-packed texel atlas: row (y*w+x) = [texel(x), texel((x+1)%w)] ->
+    # bilinear needs 2 gathers (rows y, y+1) instead of 4 taps
+    tex_pixels_pair: np.ndarray | None = None   # (P, 8) f32
+    # per-material texture metadata for one-hot-matmul material eval:
+    # 5 slots (emission,color,roughness,scattering,normal) x
+    # [off_hi, off_lo, width, height, linear] (f32; off = hi*65536+lo,
+    # exact for atlas offsets < 2^40; off_lo = -1 marks unbound)
+    mat_tex_meta: np.ndarray | None = None  # (M, 25) f32
+    # alias tables packed [cut, idx-as-f32] -> one gather per draw
+    light_alias_pack: np.ndarray | None = None  # (sum, 2) f32
+    # per-entry probability weight/total (env pdf: one gather replaces the
+    # cdf hi/lo pair)
+    light_pdf_prob: np.ndarray | None = None    # (sum,) f32
+    # scene bounds for traversal ray-sort keys
+    scene_bb: np.ndarray | None = None          # (2, 3) f32
 
 
 def _quads_to_tris_idx(quads):
@@ -417,6 +443,71 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
 
     E = len(scene.environments)
 
+    # ---------------- round-4 hot-path layouts ----------------
+    T = tri_pos.shape[0]
+    tri_wide = None
+    tri_colw = None
+    if T <= 4_000_000:  # 4M tris -> 400 MB; beyond that use per-vertex tables
+        va_c = vert_attr[tri_vidx_p]                      # (T, 3, 9)
+        tri_wide = np.concatenate(
+            [tri_pos.reshape(T, 9),
+             va_c[:, :, 0:3].reshape(T, 9),
+             va_c[:, :, 3:5].reshape(T, 6),
+             tri_mat_p.astype(f32)[:, None]], axis=1).astype(f32)
+        col_c = va_c[:, :, 5:9]
+        if np.any(col_c != 1.0):
+            tri_colw = col_c.reshape(T, 12).astype(f32)
+
+    tex_pixels_pair = None
+    if tex_pixels.shape[0] <= 32_000_000:
+        pr = np.zeros((max(tex_pixels.shape[0], 1), 8), f32)
+        for toff, tw, th, px in zip(tex_off, tex_w, tex_h, texels):
+            a = px.reshape(th, tw, 4)
+            b = np.roll(a, -1, axis=1)  # wrap: pair of x and (x+1) % w
+            pr[toff:toff + th * tw] = np.concatenate([a, b], -1).reshape(-1, 8)
+        tex_pixels_pair = pr
+
+    # per-material texture metadata rows (see SceneArrays docstring)
+    mat_tex_arrays = [
+        marr(lambda m: m.emission_tex, dtype=i32, default=-1),
+        marr(lambda m: m.color_tex, dtype=i32, default=-1),
+        marr(lambda m: m.roughness_tex, dtype=i32, default=-1),
+        marr(lambda m: m.scattering_tex, dtype=i32, default=-1),
+        marr(lambda m: m.normal_tex, dtype=i32, default=-1),
+    ]
+    tex_off_a = np.asarray(tex_off, np.int64) if tex_off else np.zeros(1, np.int64)
+    tex_w_a = np.asarray(tex_w, np.int64) if tex_w else np.ones(1, np.int64)
+    tex_h_a = np.asarray(tex_h, np.int64) if tex_h else np.ones(1, np.int64)
+    tex_lin_a = np.asarray(tex_lin, np.int64) if tex_lin else np.zeros(1, np.int64)
+    mat_tex_meta = np.zeros((M, 5, 5), f32)
+    mat_tex_meta[:, :, 1] = -1.0  # off_lo = -1 marks unbound
+    mat_tex_meta[:, :, 2:4] = 1.0
+    for s, ids in enumerate(mat_tex_arrays):
+        for mi in range(M):
+            t = int(ids[mi])
+            if t >= 0:
+                o = int(tex_off_a[t])
+                mat_tex_meta[mi, s] = [o // 65536, o % 65536,
+                                       int(tex_w_a[t]), int(tex_h_a[t]),
+                                       int(tex_lin_a[t])]
+    mat_tex_meta = mat_tex_meta.reshape(M, 25)
+
+    light_alias_pack = None
+    if light_alias_idx.max(initial=0) < (1 << 24):
+        light_alias_pack = np.stack(
+            [light_alias_cut.astype(f32),
+             light_alias_idx.astype(f32)], axis=1)
+    if cdf_chunks:
+        light_pdf_prob = np.concatenate(
+            [np.diff(c, prepend=np.float32(0.0))
+             / max(float(c[-1]), 1e-30) for c in cdf_chunks]).astype(f32)
+    else:
+        light_pdf_prob = np.zeros(1, f32)
+
+    scene_bb = np.stack([
+        tri_pos.reshape(-1, 3).min(axis=0),
+        tri_pos.reshape(-1, 3).max(axis=0)]).astype(f32)
+
     return SceneArrays(
         tri_pos=tri_pos.astype(f32),
         tri_vidx=tri_vidx_p.astype(i32),
@@ -441,11 +532,11 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         mat_scanisotropy=marr(lambda m: m.scanisotropy),
         mat_trdepth=marr(lambda m: m.trdepth, default=0.01),
         mat_opacity=marr(lambda m: m.opacity, default=1.0),
-        mat_emission_tex=marr(lambda m: m.emission_tex, dtype=i32, default=-1),
-        mat_color_tex=marr(lambda m: m.color_tex, dtype=i32, default=-1),
-        mat_roughness_tex=marr(lambda m: m.roughness_tex, dtype=i32, default=-1),
-        mat_scattering_tex=marr(lambda m: m.scattering_tex, dtype=i32, default=-1),
-        mat_normal_tex=marr(lambda m: m.normal_tex, dtype=i32, default=-1),
+        mat_emission_tex=mat_tex_arrays[0],
+        mat_color_tex=mat_tex_arrays[1],
+        mat_roughness_tex=mat_tex_arrays[2],
+        mat_scattering_tex=mat_tex_arrays[3],
+        mat_normal_tex=mat_tex_arrays[4],
         tex_pixels=tex_pixels,
         tex_offset=np.asarray(tex_off, i32) if tex_off else np.zeros(1, i32),
         tex_width=np.asarray(tex_w, i32) if tex_w else np.ones(1, i32),
@@ -513,4 +604,11 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         cam_ortho=np.asarray(
             [1 if c.orthographic else 0 for c in scene.cameras], i32
         ),
+        tri_wide=tri_wide,
+        tri_colw=tri_colw,
+        tex_pixels_pair=tex_pixels_pair,
+        mat_tex_meta=mat_tex_meta,
+        light_alias_pack=light_alias_pack,
+        light_pdf_prob=light_pdf_prob,
+        scene_bb=scene_bb,
     )
