@@ -35,8 +35,33 @@ BOUNCES = 8
 
 
 def bench_forward(r):
-    """Forward progressive render throughput (paths == camera rays)."""
-    return r.rays_per_sec(samples=16, chunk=4)
+    """Forward render throughput through the default (pool) render path."""
+    import time
+
+    r.render(samples=32)  # compile + warm
+    t0 = time.time()
+    r.render(samples=32)
+    dt = time.time() - t0
+    return 32 * r.width * r.height / dt
+
+
+def bench_published_config():
+    """The reference's published lowres config for 03_volume
+    (run.sh:6-10): 720 px, bounces 64. Measured as a warm 64-spp render;
+    the C++ reference ran 372k paths/s at this config on this host
+    (PERF.md §1)."""
+    import time
+
+    from vpt_tpu.renderer import Renderer, RenderParams
+
+    p = RenderParams(shader="volpathtrace", samples=256, resolution=720,
+                     bounces=64)
+    r = Renderer(SCENE, p)
+    r.render(samples=64)  # compile + warm
+    t0 = time.time()
+    r.render(samples=64)
+    dt = time.time() - t0
+    return 64 * r.width * r.height / dt
 
 
 def bench_fwd_bwd(r):
@@ -85,9 +110,12 @@ def main():
     r = Renderer(SCENE, params)
     fwd = bench_forward(r)
     fwdbwd, flops_per_sec = bench_fwd_bwd(r)
+    pub = bench_published_config()
     extra = {
         "fwd_paths_per_sec": round(fwd, 1),
         "fwd_vs_ref_cpu": round(fwd / REF_CPU_PATHS_PER_SEC, 3),
+        "published_720px_b64_paths_per_sec": round(pub, 1),
+        "published_720px_b64_vs_ref_cpu": round(pub / 372_000.0, 3),
         "fwdbwd_vs_round2": round(fwdbwd / ROUND2_FWDBWD_PATHS_PER_SEC, 3),
         "ref_cpu_paths_per_sec": REF_CPU_PATHS_PER_SEC,
         "ref_cpu_note": ("compiled C++ reference, 2-core host, fwd-only "

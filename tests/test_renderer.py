@@ -170,3 +170,26 @@ def test_real_scene_cpu_render_normal_aov():
     hit_frac = float((img[..., 3] > 0).mean())
     assert 0.3 < hit_frac <= 1.0, hit_frac
     assert np.isfinite(img).all()
+
+
+def test_pool_matches_scan_renderer():
+    """The work-queue pool renderer (render/pool.py) must reproduce the
+    fixed-depth scan estimator: identical (pixel, sample) RNG streams and
+    radiance terms, differing only in per-pixel float accumulation order
+    (samples flush in completion order)."""
+    import numpy as np
+
+    from vpt_tpu.render import state as RS
+    from vpt_tpu.scene.testing import make_test_scene
+
+    scene = make_test_scene(sphere_steps=8, with_volume=True)
+    params = RenderParams(shader="volpathtrace", samples=4, resolution=48,
+                          bounces=20)
+    r = Renderer(scene, params, devices=1)
+    img_pool, st = r.render(samples=4)  # default path: pool
+    assert int(st.samples) == 4
+    r2 = Renderer(scene, params, devices=1)
+    # an explicit starting state forces the scan path
+    img_scan, _ = r2.render(
+        samples=4, state=RS.make_state(r2.width, r2.height), chunk=4)
+    np.testing.assert_allclose(img_pool, img_scan, rtol=2e-5, atol=1e-6)

@@ -96,13 +96,260 @@ def _make_ubank(pixel_id, sample_id, bounce, seed):
     return u, u2
 
 
+def make_bounce_body(lights, n_envs: int, *, bounces: int,
+                     enable_volume: bool, mis: bool, naive: bool, seed: int,
+                     mat_types, tex_slots, opacity_extra: int,
+                     can_opacity: bool, env_meta=None,
+                     track_nbounce: bool | None = None):
+    """One path-tracing bounce as a reusable body:
+    body(ds, st, bounce, pixel_id, sample_id, first=False) -> PathState.
+
+    `bounce` may be a scalar (fixed-depth scan — all lanes at the same
+    bounce) or a per-lane i32 array (pool renderer — every lane at its own
+    bounce); it addresses the RNG draw bank. Semantics per
+    shade_volpathtrace/shade_pathtrace/shade_naive
+    (yocto_pathtrace.cpp:565-832); see make_path_shader for parity notes.
+
+    track_nbounce: maintain the per-lane real-bounce counter and use it for
+    termination/RR (forced on when opacity_extra > 0; the pool renderer
+    always needs it)."""
+    mat_types = frozenset(mat_types)
+    tex_slots = frozenset(tex_slots)
+    if track_nbounce is None:
+        track_nbounce = opacity_extra > 0
+
+    def _bounce_live(ds, st: PathState, bounce, pixel_id, sample_id,
+                     first: bool = False):
+        # first=True: the peeled camera bounce — every ray is alive and
+        # outside any volume, so the transmittance/scatter machinery is
+        # statically dead code
+        vol_here = enable_volume and not first
+        u, u2 = _make_ubank(pixel_id, sample_id, bounce, seed)
+
+        if track_nbounce:
+            # rays whose real-bounce budget is spent stop cold (the
+            # reference loop exits before tracing another ray)
+            st = st._replace(alive=st.alive & (st.nbounce < bounces))
+        isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive,
+                                sort_rays=not first)
+        hit = isect["hit"]
+        # environment on miss
+        env = SE.eval_environment(ds, st.ray_d, n_envs, env_meta)
+        radiance = jnp.where(
+            (st.alive & ~hit)[..., None], st.radiance + st.weight * env,
+            st.radiance)
+        alive = st.alive & hit
+
+        # --- transmittance sampling inside a volume (cpp:586-596) ---
+        dist_surf = isect["dist"]
+        in_vol = alive & (st.vol_depth > 0) if vol_here else (
+            jnp.zeros_like(alive))
+        if vol_here:
+            # sanitize inputs for rays not in a volume: FLT_MAX distances
+            # in the unselected where-branch poison reverse-mode AD
+            # (0 * inf = NaN cotangents)
+            safe_surf = jnp.where(
+                in_vol, jnp.minimum(dist_surf, 1e30), 1.0)
+            t_dist = V.sample_transmittance(st.vol_density, safe_surf, u(0), u(1))
+            t_dist = jnp.where(in_vol, jnp.minimum(t_dist, 1e30), 0.5)
+            w_tr = V.eval_transmittance(st.vol_density, t_dist) / jnp.maximum(
+                V.sample_transmittance_pdf(st.vol_density, t_dist, safe_surf),
+                1e-30)[..., None]
+            weight = jnp.where(in_vol[..., None], st.weight * w_tr, st.weight)
+            in_scatter = in_vol & (t_dist < dist_surf)
+        else:
+            weight = st.weight
+            in_scatter = jnp.zeros_like(alive)
+            t_dist = dist_surf
+
+        # ======== surface branch (cpp:599-652) ========
+        surf = alive & ~in_scatter
+        outgoing = -st.ray_d
+        position = SE.eval_hit_position(ds, isect, st.ray_o, st.ray_d)
+        normal = SE.eval_hit_shading_normal(ds, isect, outgoing,
+                                            tex_slots=tex_slots)
+        mat = SE.eval_hit_material(ds, isect, tex_slots=tex_slots)
+
+        # exactly one of {surface shade, volume scatter} applies per ray,
+        # so the light-sampling machinery (env-CDF sample + pdf walk over
+        # all lights, the two most gather-heavy ops in the step) runs
+        # ONCE on merged positions/directions instead of per branch
+        if vol_here:
+            vpos = st.ray_o + st.ray_d * t_dist[..., None]
+            light_pos = jnp.where(in_scatter[..., None], vpos, position)
+        else:
+            light_pos = position
+        if mis and not naive:
+            inc_light = sample_lights(ds, lights, light_pos, u(7), u(8),
+                                      u2(9), racc=u(12))
+
+        if can_opacity:
+            passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
+            shade_surf = surf & ~passthrough
+        else:  # statically opaque scene: no passthrough draw/masking
+            passthrough = jnp.zeros_like(surf)
+            shade_surf = surf
+
+        # alpha parity: the reference rewinds its bounce counter on
+        # opacity passthrough (cpp:607-611), so a camera ray that passes
+        # through a semi-transparent surface and shades a real surface
+        # later still counts as a first-bounce hit. With the rewind
+        # machinery armed, gate on the real-bounce counter.
+        first_real = (st.nbounce == 0) if track_nbounce else (bounce == 0)
+        hit0 = st.hit0 | (shade_surf & first_real)
+        radiance = jnp.where(
+            shade_surf[..., None],
+            radiance + weight * B.eval_emission(mat, normal, outgoing),
+            radiance)
+
+        delta = B.is_delta(mat)
+        # non-delta: 0.5 bsdf / 0.5 light one-sample MIS
+        inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5), types=mat_types)
+        if mis and not naive:
+            use_bsdf = u(3) < 0.5
+            incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
+        else:
+            incoming_nd = inc_bsdf
+        pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
+
+        # volume scatter direction (needed now so the merged light pdf
+        # can cover both branches in one walk)
+        if vol_here:
+            inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
+            incoming_v = jnp.where(
+                (u(3) < 0.5)[..., None], inc_phase, inc_light)
+            light_dir = jnp.where(
+                in_scatter[..., None], incoming_v, incoming_nd)
+        else:
+            light_dir = incoming_nd
+
+        if mis and not naive:
+            pdf_l = sample_lights_pdf(ds, lights, light_pos, light_dir)
+            denom = 0.5 * pdf_b + 0.5 * pdf_l
+            f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
+            w_nd = jnp.where(
+                (denom > 0)[..., None],
+                f_val / jnp.where(denom > 0, denom, 1.0)[..., None], 0.0)
+        else:
+            f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
+            w_nd = jnp.where(
+                (pdf_b > 0)[..., None],
+                f_val / jnp.where(pdf_b > 0, pdf_b, 1.0)[..., None], 0.0)
+        # delta lobes
+        inc_delta = B.sample_delta(mat, normal, outgoing, u(4), types=mat_types)
+        pdf_d = B.sample_delta_pdf(mat, normal, outgoing, inc_delta, types=mat_types)
+        f_d = B.eval_delta(mat, normal, outgoing, inc_delta, types=mat_types)
+        w_d = jnp.where(
+            (pdf_d > 0)[..., None],
+            f_d / jnp.where(pdf_d > 0, pdf_d, 1.0)[..., None], 0.0)
+
+        incoming = jnp.where(delta[..., None], inc_delta, incoming_nd)
+        w_scale = jnp.where(delta[..., None], w_d, w_nd)
+        inc_zero = jnp.all(incoming == 0.0, axis=-1)
+        alive = alive & jnp.where(shade_surf, ~inc_zero, True)
+        weight = jnp.where(shade_surf[..., None], weight * w_scale, weight)
+
+        # volume stack update (cpp:642-648)
+        if enable_volume:
+            crossing = B.is_volumetric(mat) & (
+                dot(normal, outgoing) * dot(normal, incoming) < 0.0)
+            do_push = shade_surf & crossing & (st.vol_depth == 0)
+            do_pop = shade_surf & crossing & (st.vol_depth > 0)
+            vol_depth = jnp.where(
+                do_push, 1, jnp.where(do_pop, st.vol_depth - 1, st.vol_depth))
+            vol_density = jnp.where(do_push[..., None], mat.density, st.vol_density)
+            vol_scattering = jnp.where(
+                do_push[..., None], mat.scattering, st.vol_scattering)
+            vol_scaniso = jnp.where(do_push, mat.scanisotropy, st.vol_scaniso)
+            vol_emission = jnp.where(do_push[..., None], mat.emission, st.vol_emission)
+        else:
+            vol_depth = st.vol_depth
+            vol_density, vol_scattering = st.vol_density, st.vol_scattering
+            vol_scaniso, vol_emission = st.vol_scaniso, st.vol_emission
+
+        if can_opacity:
+            new_o = jnp.where(
+                passthrough[..., None], position + st.ray_d * 1e-2,
+                jnp.where(shade_surf[..., None], position, st.ray_o))
+        else:
+            new_o = jnp.where(shade_surf[..., None], position, st.ray_o)
+        new_d = jnp.where(shade_surf[..., None], incoming, st.ray_d)
+
+        # ======== volume scattering branch (cpp:654-673) ========
+        if vol_here:
+            # eval_emission(vol, position, outgoing) quirk: "normal" is the
+            # position (cpp:660) — mirror exactly
+            vol_emit = jnp.where(
+                (dot(vpos, outgoing) >= 0.0)[..., None], st.vol_emission, 0.0)
+            radiance = jnp.where(
+                in_scatter[..., None], radiance + weight * vol_emit, radiance)
+            pdf_ph = V.sample_phasefunction_pdf(st.vol_scaniso, outgoing, incoming_v)
+            # pdf_l was evaluated at (light_pos, light_dir) which equals
+            # (vpos, incoming_v) exactly for in_scatter rays
+            denom_v = 0.5 * pdf_ph + 0.5 * pdf_l
+            f_scat = V.eval_scattering(
+                st.vol_density, st.vol_scattering, st.vol_scaniso,
+                outgoing, incoming_v)
+            w_v = jnp.where(
+                (denom_v > 0)[..., None],
+                f_scat / jnp.where(denom_v > 0, denom_v, 1.0)[..., None], 0.0)
+            weight = jnp.where(in_scatter[..., None], weight * w_v, weight)
+            new_o = jnp.where(in_scatter[..., None], vpos, new_o)
+            new_d = jnp.where(in_scatter[..., None], incoming_v, new_d)
+
+        # weight check + russian roulette (cpp:676-683)
+        active_shaded = alive & (shade_surf | in_scatter)
+        wzero = jnp.all(weight == 0.0, axis=-1) | ~jnp.all(
+            jnp.isfinite(weight), axis=-1)
+        alive = alive & jnp.where(active_shaded, ~wzero, True)
+        if bounces > 4:
+            rr_prob = jnp.minimum(0.99, vmax(weight))
+            bounce_eff = st.nbounce if track_nbounce else bounce
+            do_rr = active_shaded & (bounce_eff > 3)
+            rr_kill = do_rr & (u(11) >= rr_prob)
+            alive = alive & ~rr_kill
+            weight = jnp.where(
+                (do_rr & ~rr_kill)[..., None],
+                weight / jnp.maximum(rr_prob, 1e-12)[..., None], weight)
+
+        if track_nbounce:
+            nbounce = st.nbounce + jnp.where(
+                st.alive & ~passthrough, 1, 0).astype(jnp.int32)
+        else:
+            nbounce = st.nbounce
+        return PathState(
+            ray_o=new_o, ray_d=new_d, radiance=radiance, weight=weight,
+            alive=alive, hit0=hit0, nbounce=nbounce, vol_depth=vol_depth,
+            vol_density=vol_density, vol_scattering=vol_scattering,
+            vol_scaniso=vol_scaniso, vol_emission=vol_emission,
+        )
+
+    return _bounce_live
+
+
+def init_path_state(ray_o, ray_d) -> PathState:
+    R = ray_o.shape[0]
+    f3 = lambda v=0.0: jnp.full((R, 3), v, jnp.float32)
+    return PathState(
+        ray_o=ray_o, ray_d=ray_d,
+        radiance=f3(0.0), weight=f3(1.0),
+        alive=jnp.ones((R,), bool), hit0=jnp.zeros((R,), bool),
+        nbounce=jnp.zeros((R,), jnp.int32),
+        vol_depth=jnp.zeros((R,), jnp.int32),
+        vol_density=f3(), vol_scattering=f3(),
+        vol_scaniso=jnp.zeros((R,), jnp.float32), vol_emission=f3(),
+    )
+
+
 def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
                      enable_volume: bool = True, mis: bool = True,
                      naive: bool = False, seed: int = 1301081,
                      mat_types=B.ALL_TYPES, tex_slots=SE.ALL_TEX_SLOTS,
                      opacity_extra: int = 0, can_opacity: bool = True,
                      env_meta=None):
-    """Returns shade(ray_o, ray_d, pixel_id, sample_id) -> (radiance, alpha).
+    """Returns shade(ds, ray_o, ray_d, pixel_id, sample_id) ->
+    (radiance, alpha) — the fixed-depth wavefront scan over
+    make_bounce_body.
 
     enable_volume=True, mis=True  -> shade_volpathtrace (cpp:565-687)
     enable_volume=False, mis=True -> shade_pathtrace    (cpp:690-762)
@@ -117,257 +364,43 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
     (statically opaque scene).
     tex_slots: static set of texture-slot names any material actually binds
     ("emission"/"color"/"roughness"/"scattering"/"normal") — unbound slots
-    skip their 4-tap gather into the texture atlas entirely (the atlas
-    gathers are among the most expensive ops in the step).
+    skip their gathers into the texture atlas entirely.
     """
-    mat_types = frozenset(mat_types)
-    tex_slots = frozenset(tex_slots)
     # the volume-scatter branch needs the merged light sample/pdf machinery;
     # without MIS it would reference draws that are never made (the
     # reference has no naive/non-MIS volumetric shader either)
     assert not (enable_volume and (naive or not mis)), (
         "enable_volume requires mis=True, naive=False")
+    body = make_bounce_body(
+        lights, n_envs, bounces=bounces, enable_volume=enable_volume,
+        mis=mis, naive=naive, seed=seed, mat_types=mat_types,
+        tex_slots=tex_slots, opacity_extra=opacity_extra,
+        can_opacity=can_opacity, env_meta=env_meta)
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
-        R = ray_o.shape[0]
-        f3 = lambda v=0.0: jnp.full((R, 3), v, jnp.float32)
-        state = PathState(
-            ray_o=ray_o, ray_d=ray_d,
-            radiance=f3(0.0), weight=f3(1.0),
-            alive=jnp.ones((R,), bool), hit0=jnp.zeros((R,), bool),
-            nbounce=jnp.zeros((R,), jnp.int32),
-            vol_depth=jnp.zeros((R,), jnp.int32),
-            vol_density=f3(), vol_scattering=f3(),
-            vol_scaniso=jnp.zeros((R,), jnp.float32), vol_emission=f3(),
-        )
+        state = init_path_state(ray_o, ray_d)
 
         # The any-alive skip is a real lax.cond: once every ray in the shard
         # is dead the remaining scan iterations cost ~nothing, which is what
         # makes the reference's --bounces 64 configs affordable (RR kills
         # most paths within ~8 bounces). BUT the cond itself is expensive —
-        # XLA copies the carried PathState through the conditional, measured
-        # 10.9 ms per bounce on a v5e (profiler trace, PERF.md §2) vs a
-        # 19 ms bounce body. Only use it when enough trailing iterations
-        # can be skipped to win back the copies.
+        # XLA copies the carried PathState through the conditional (measured
+        # 10.9 ms per bounce on a v5e, PERF.md §2). Only use it when enough
+        # trailing iterations can be skipped to win back the copies.
         use_alive_cond = (bounces + opacity_extra) > 16
 
         def bounce_step(st: PathState, bounce):
             if not use_alive_cond:
-                return _bounce_live(st, bounce), None
+                return body(ds, st, bounce, pixel_id, sample_id), None
             return jax.lax.cond(
                 jnp.any(st.alive),
-                lambda s: _bounce_live(s, bounce),
+                lambda s: body(ds, s, bounce, pixel_id, sample_id),
                 lambda s: s, st), None
 
-        def _bounce_live(st: PathState, bounce, first: bool = False):
-            # first=True: the peeled camera bounce — every ray is alive and
-            # outside any volume, so the transmittance/scatter machinery is
-            # statically dead code
-            vol_here = enable_volume and not first
-            u, u2 = _make_ubank(pixel_id, sample_id, bounce, seed)
-
-            if opacity_extra:
-                # rays whose real-bounce budget is spent stop cold (the
-                # reference loop exits before tracing another ray)
-                st = st._replace(alive=st.alive & (st.nbounce < bounces))
-            isect = intersect_scene(ds, st.ray_o, st.ray_d, alive=st.alive,
-                                    sort_rays=not first)
-            hit = isect["hit"]
-            # environment on miss
-            env = SE.eval_environment(ds, st.ray_d, n_envs, env_meta)
-            radiance = jnp.where(
-                (st.alive & ~hit)[..., None], st.radiance + st.weight * env,
-                st.radiance)
-            alive = st.alive & hit
-
-            # --- transmittance sampling inside a volume (cpp:586-596) ---
-            dist_surf = isect["dist"]
-            in_vol = alive & (st.vol_depth > 0) if vol_here else (
-                jnp.zeros_like(alive))
-            if vol_here:
-                # sanitize inputs for rays not in a volume: FLT_MAX distances
-                # in the unselected where-branch poison reverse-mode AD
-                # (0 * inf = NaN cotangents)
-                safe_surf = jnp.where(
-                    in_vol, jnp.minimum(dist_surf, 1e30), 1.0)
-                t_dist = V.sample_transmittance(st.vol_density, safe_surf, u(0), u(1))
-                t_dist = jnp.where(in_vol, jnp.minimum(t_dist, 1e30), 0.5)
-                w_tr = V.eval_transmittance(st.vol_density, t_dist) / jnp.maximum(
-                    V.sample_transmittance_pdf(st.vol_density, t_dist, safe_surf),
-                    1e-30)[..., None]
-                weight = jnp.where(in_vol[..., None], st.weight * w_tr, st.weight)
-                in_scatter = in_vol & (t_dist < dist_surf)
-            else:
-                weight = st.weight
-                in_scatter = jnp.zeros_like(alive)
-                t_dist = dist_surf
-
-            # ======== surface branch (cpp:599-652) ========
-            surf = alive & ~in_scatter
-            outgoing = -st.ray_d
-            position = SE.eval_hit_position(ds, isect, st.ray_o, st.ray_d)
-            normal = SE.eval_hit_shading_normal(ds, isect, outgoing,
-                                                tex_slots=tex_slots)
-            mat = SE.eval_hit_material(ds, isect, tex_slots=tex_slots)
-
-            # exactly one of {surface shade, volume scatter} applies per ray,
-            # so the light-sampling machinery (env-CDF sample + pdf walk over
-            # all lights, the two most gather-heavy ops in the step) runs
-            # ONCE on merged positions/directions instead of per branch
-            if vol_here:
-                vpos = st.ray_o + st.ray_d * t_dist[..., None]
-                light_pos = jnp.where(in_scatter[..., None], vpos, position)
-            else:
-                light_pos = position
-            if mis and not naive:
-                inc_light = sample_lights(ds, lights, light_pos, u(7), u(8),
-                                          u2(9), racc=u(12))
-
-            if can_opacity:
-                passthrough = surf & (mat.opacity < 1.0) & (u(2) >= mat.opacity)
-                shade_surf = surf & ~passthrough
-            else:  # statically opaque scene: no passthrough draw/masking
-                passthrough = jnp.zeros_like(surf)
-                shade_surf = surf
-
-            # alpha parity: the reference rewinds its bounce counter on
-            # opacity passthrough (cpp:607-611), so a camera ray that passes
-            # through a semi-transparent surface and shades a real surface
-            # later still counts as a first-bounce hit. With the rewind
-            # machinery armed, gate on the real-bounce counter.
-            first_real = (st.nbounce == 0) if opacity_extra else (bounce == 0)
-            hit0 = st.hit0 | (shade_surf & first_real)
-            radiance = jnp.where(
-                shade_surf[..., None],
-                radiance + weight * B.eval_emission(mat, normal, outgoing),
-                radiance)
-
-            delta = B.is_delta(mat)
-            # non-delta: 0.5 bsdf / 0.5 light one-sample MIS
-            inc_bsdf = B.sample_bsdfcos(mat, normal, outgoing, u(4), u2(5), types=mat_types)
-            if mis and not naive:
-                use_bsdf = u(3) < 0.5
-                incoming_nd = jnp.where(use_bsdf[..., None], inc_bsdf, inc_light)
-            else:
-                incoming_nd = inc_bsdf
-            pdf_b = B.sample_bsdfcos_pdf(mat, normal, outgoing, incoming_nd, types=mat_types)
-
-            # volume scatter direction (needed now so the merged light pdf
-            # can cover both branches in one walk)
-            if vol_here:
-                inc_phase = V.sample_phasefunction(st.vol_scaniso, outgoing, u2(5))
-                incoming_v = jnp.where(
-                    (u(3) < 0.5)[..., None], inc_phase, inc_light)
-                light_dir = jnp.where(
-                    in_scatter[..., None], incoming_v, incoming_nd)
-            else:
-                light_dir = incoming_nd
-
-            if mis and not naive:
-                pdf_l = sample_lights_pdf(ds, lights, light_pos, light_dir)
-                denom = 0.5 * pdf_b + 0.5 * pdf_l
-                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
-                w_nd = jnp.where(
-                    (denom > 0)[..., None],
-                    f_val / jnp.where(denom > 0, denom, 1.0)[..., None], 0.0)
-            else:
-                f_val = B.eval_bsdfcos(mat, normal, outgoing, incoming_nd, types=mat_types)
-                w_nd = jnp.where(
-                    (pdf_b > 0)[..., None],
-                    f_val / jnp.where(pdf_b > 0, pdf_b, 1.0)[..., None], 0.0)
-            # delta lobes
-            inc_delta = B.sample_delta(mat, normal, outgoing, u(4), types=mat_types)
-            pdf_d = B.sample_delta_pdf(mat, normal, outgoing, inc_delta, types=mat_types)
-            f_d = B.eval_delta(mat, normal, outgoing, inc_delta, types=mat_types)
-            w_d = jnp.where(
-                (pdf_d > 0)[..., None],
-                f_d / jnp.where(pdf_d > 0, pdf_d, 1.0)[..., None], 0.0)
-
-            incoming = jnp.where(delta[..., None], inc_delta, incoming_nd)
-            w_scale = jnp.where(delta[..., None], w_d, w_nd)
-            inc_zero = jnp.all(incoming == 0.0, axis=-1)
-            alive = alive & jnp.where(shade_surf, ~inc_zero, True)
-            weight = jnp.where(shade_surf[..., None], weight * w_scale, weight)
-
-            # volume stack update (cpp:642-648)
-            if enable_volume:
-                crossing = B.is_volumetric(mat) & (
-                    dot(normal, outgoing) * dot(normal, incoming) < 0.0)
-                do_push = shade_surf & crossing & (st.vol_depth == 0)
-                do_pop = shade_surf & crossing & (st.vol_depth > 0)
-                vol_depth = jnp.where(
-                    do_push, 1, jnp.where(do_pop, st.vol_depth - 1, st.vol_depth))
-                vol_density = jnp.where(do_push[..., None], mat.density, st.vol_density)
-                vol_scattering = jnp.where(
-                    do_push[..., None], mat.scattering, st.vol_scattering)
-                vol_scaniso = jnp.where(do_push, mat.scanisotropy, st.vol_scaniso)
-                vol_emission = jnp.where(do_push[..., None], mat.emission, st.vol_emission)
-            else:
-                vol_depth = st.vol_depth
-                vol_density, vol_scattering = st.vol_density, st.vol_scattering
-                vol_scaniso, vol_emission = st.vol_scaniso, st.vol_emission
-
-            if can_opacity:
-                new_o = jnp.where(
-                    passthrough[..., None], position + st.ray_d * 1e-2,
-                    jnp.where(shade_surf[..., None], position, st.ray_o))
-            else:
-                new_o = jnp.where(shade_surf[..., None], position, st.ray_o)
-            new_d = jnp.where(shade_surf[..., None], incoming, st.ray_d)
-
-            # ======== volume scattering branch (cpp:654-673) ========
-            if vol_here:
-                # eval_emission(vol, position, outgoing) quirk: "normal" is the
-                # position (cpp:660) — mirror exactly
-                vol_emit = jnp.where(
-                    (dot(vpos, outgoing) >= 0.0)[..., None], st.vol_emission, 0.0)
-                radiance = jnp.where(
-                    in_scatter[..., None], radiance + weight * vol_emit, radiance)
-                pdf_ph = V.sample_phasefunction_pdf(st.vol_scaniso, outgoing, incoming_v)
-                # pdf_l was evaluated at (light_pos, light_dir) which equals
-                # (vpos, incoming_v) exactly for in_scatter rays
-                denom_v = 0.5 * pdf_ph + 0.5 * pdf_l
-                f_scat = V.eval_scattering(
-                    st.vol_density, st.vol_scattering, st.vol_scaniso,
-                    outgoing, incoming_v)
-                w_v = jnp.where(
-                    (denom_v > 0)[..., None],
-                    f_scat / jnp.where(denom_v > 0, denom_v, 1.0)[..., None], 0.0)
-                weight = jnp.where(in_scatter[..., None], weight * w_v, weight)
-                new_o = jnp.where(in_scatter[..., None], vpos, new_o)
-                new_d = jnp.where(in_scatter[..., None], incoming_v, new_d)
-
-            # weight check + russian roulette (cpp:676-683)
-            active_shaded = alive & (shade_surf | in_scatter)
-            wzero = jnp.all(weight == 0.0, axis=-1) | ~jnp.all(
-                jnp.isfinite(weight), axis=-1)
-            alive = alive & jnp.where(active_shaded, ~wzero, True)
-            if bounces > 4:
-                rr_prob = jnp.minimum(0.99, vmax(weight))
-                bounce_eff = st.nbounce if opacity_extra else bounce
-                do_rr = active_shaded & (bounce_eff > 3)
-                rr_kill = do_rr & (u(11) >= rr_prob)
-                alive = alive & ~rr_kill
-                weight = jnp.where(
-                    (do_rr & ~rr_kill)[..., None],
-                    weight / jnp.maximum(rr_prob, 1e-12)[..., None], weight)
-
-            if opacity_extra:
-                nbounce = st.nbounce + jnp.where(
-                    st.alive & ~passthrough, 1, 0).astype(jnp.int32)
-            else:
-                nbounce = st.nbounce
-            return PathState(
-                ray_o=new_o, ray_d=new_d, radiance=radiance, weight=weight,
-                alive=alive, hit0=hit0, nbounce=nbounce, vol_depth=vol_depth,
-                vol_density=vol_density, vol_scattering=vol_scattering,
-                vol_scaniso=vol_scaniso, vol_emission=vol_emission,
-            )
-
         # scan over bounces (a while-loop here blows up XLA compile time
-        # ~20x through the remote-compile tunnel); dead rays cost ~nothing in
-        # later bounces because traversal starts with cursor -1 for them and
-        # the inner while exits immediately once all are dead
+        # ~20x through the remote-compile tunnel); dead rays cost ~nothing
+        # in later bounces because traversal starts with cursor -1 for them
+        # and the inner while exits immediately once all are dead
         n_iters = bounces + opacity_extra
         if UNROLL_BOUNCES_DEBUG:
             for b in range(n_iters):
@@ -375,7 +408,8 @@ def make_path_shader(lights, n_envs: int, *, bounces: int = 4,
         else:
             # peel the camera bounce: all rays alive, none inside a volume —
             # the transmittance/scatter machinery compiles away
-            state = _bounce_live(state, jnp.int32(0), first=True)
+            state = body(ds, state, jnp.int32(0), pixel_id, sample_id,
+                         first=True)
             if n_iters > 1:
                 state, _ = jax.lax.scan(
                     bounce_step, state, jnp.arange(1, n_iters))

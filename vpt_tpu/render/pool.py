@@ -1,0 +1,163 @@
+"""Path-pool (work-queue regeneration) renderer for deep-bounce configs.
+
+The fixed-depth wavefront scan (integrator.py) runs `bounces` iterations
+with EVERY lane paying the full body cost even after its path dies — at the
+reference's published `--bounces 64` configs (run.sh:6-10) russian roulette
+kills most paths within ~8 bounces, so most of the scan is dead-lane waste
+(round-3: 117 k paths/s at 720px/b64 vs 252 k at b8).
+
+The pool removes the waste structurally: lanes pull (pixel, sample) work
+items from a global queue. The moment a lane's path terminates it FLUSHES
+its radiance into the accumulation image (masked scatter-add) and
+immediately starts the next queued item — a new camera ray. Lanes are
+always doing useful work, and pixels with long mean path lengths (dense
+media) don't stall the rest of the image: a `samples`-spp render costs
+~samples x mean-path-length iterations instead of samples x bounces.
+
+Work items are pixel-major (consecutive items = samples of the same pixel,
+running concurrently in nearby lanes), which keeps regenerated camera rays
+coherent for the sorted packet traversal.
+
+Exactness: every (pixel, sample) pair draws the identical counter-based RNG
+streams as the scan renderer (the per-lane iteration counter `piter`
+reproduces the scan's iteration index, including opacity-passthrough
+crossings that don't advance the real-bounce counter). Samples of a pixel
+flush in completion order, so per-pixel accumulation order differs from the
+scan's — a float-add reordering of the same terms (tests pin agreement at
+~1e-5; the estimator is identical).
+
+Equivalent of: the progressive loop yocto_pathtrace.cpp:1052-1092 at high
+`bounces` (the reference's recursive shader naturally pays only the real
+path length per sample; the pool recovers that property in wavefront form).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import state as RS
+from .integrator import PathState, init_path_state, make_bounce_body
+
+
+class PoolState(NamedTuple):
+    path: PathState
+    piter: jnp.ndarray    # (R,) i32: iterations since path start (RNG bank)
+    pixel: jnp.ndarray    # (R,) u32: pixel of the lane's current item
+    sample: jnp.ndarray   # (R,) i32: sample id of the lane's current item
+    flushed: jnp.ndarray  # (R,) bool: lane's last path already accumulated
+    next_w: jnp.ndarray   # () i32: next unassigned work-item index
+    accum: jnp.ndarray    # (P, 4) rgba accumulation image
+    busy: jnp.ndarray     # () bool: work remaining (queue, live or unflushed)
+
+
+def init_pool_state(R: int, P: int) -> PoolState:
+    import numpy as np
+
+    # distinct host buffers per leaf: the pool step donates its carry, and
+    # jnp constant-dedup would otherwise alias identical zeros arrays
+    # ("attempt to donate the same buffer twice")
+    f3 = lambda: jnp.asarray(np.zeros((R, 3), np.float32))
+    path = PathState(
+        ray_o=f3(), ray_d=f3(), radiance=f3(), weight=f3(),
+        alive=jnp.asarray(np.zeros(R, bool)),
+        hit0=jnp.asarray(np.zeros(R, bool)),
+        nbounce=jnp.asarray(np.zeros(R, np.int32)),
+        vol_depth=jnp.asarray(np.zeros(R, np.int32)),
+        vol_density=f3(), vol_scattering=f3(),
+        vol_scaniso=jnp.asarray(np.zeros(R, np.float32)),
+        vol_emission=f3(),
+    )
+    return PoolState(
+        path=path,
+        piter=jnp.asarray(np.zeros(R, np.int32)),
+        pixel=jnp.asarray(np.zeros(R, np.uint32)),
+        sample=jnp.asarray(np.zeros(R, np.int32)),
+        flushed=jnp.asarray(np.ones(R, bool)),
+        next_w=jnp.asarray(np.int32(0)),
+        accum=jnp.asarray(np.zeros((P, 4), np.float32)),
+        busy=jnp.asarray(np.int32(1)),
+    )
+
+
+def make_pool_step(lights, n_envs: int, *, camera: int, width: int,
+                   height: int, bounces: int, batch_samples: int,
+                   total_samples: int, iters_per_step: int, n_lanes: int,
+                   enable_volume: bool = True, mis: bool = True,
+                   naive: bool = False, seed: int = 1301081, mat_types=None,
+                   tex_slots=None, opacity_extra: int = 0,
+                   can_opacity: bool = True, env_meta=None):
+    """Returns step(ds, pst, sample_base) advancing `iters_per_step` pool
+    iterations over the work queue of `P * batch_samples` items
+    (pixel-major; item w -> pixel w // batch_samples, sample
+    sample_base + w % batch_samples). The host loops dispatches until
+    pst.busy is False, then moves to the next sample batch (batching keeps
+    the i32 work counter in range for highres x high-spp renders).
+    total_samples: the render's full spp target — camera-jitter
+    stratification is addressed by absolute sample id."""
+    from ..ops import bsdf as B
+    from . import sceneval as SE
+
+    body = make_bounce_body(
+        lights, n_envs, bounces=bounces, enable_volume=enable_volume,
+        mis=mis, naive=naive, seed=seed,
+        mat_types=B.ALL_TYPES if mat_types is None else mat_types,
+        tex_slots=SE.ALL_TEX_SLOTS if tex_slots is None else tex_slots,
+        opacity_extra=opacity_extra, can_opacity=can_opacity,
+        env_meta=env_meta, track_nbounce=True)
+    max_piter = bounces + max(opacity_extra, 0)
+    P = width * height
+    n_items = P * batch_samples
+
+    def step(ds, pst: PoolState, sample_base):
+        def one(pst: PoolState, _):
+            st = pst.path
+            dead = ~st.alive
+            # flush finished paths (scan-end semantics: non-finite -> 0)
+            finite = jnp.all(jnp.isfinite(st.radiance), axis=-1)
+            rad = jnp.where(finite[..., None], st.radiance, 0.0)
+            do_flush = dead & ~pst.flushed
+            rgba = jnp.concatenate(
+                [rad, st.hit0.astype(jnp.float32)[:, None]], axis=1)
+            accum = pst.accum.at[pst.pixel].add(
+                jnp.where(do_flush[:, None], rgba, 0.0))
+            flushed = pst.flushed | do_flush
+
+            # pull work: dead lanes take consecutive queue items
+            take = dead
+            rank = jnp.cumsum(take.astype(jnp.int32)) - 1
+            w = pst.next_w + rank
+            start = take & (w < n_items)
+            w = jnp.minimum(w, n_items - 1)
+            pixel = jnp.where(
+                start, (w // batch_samples).astype(jnp.uint32), pst.pixel)
+            sample = jnp.where(
+                start, sample_base + w % batch_samples, pst.sample)
+            next_w = jnp.minimum(pst.next_w + jnp.sum(
+                take.astype(jnp.int32)), n_items)
+
+            o, d = RS.camera_rays(ds, camera, width, height, pixel,
+                                  sample, total_samples, seed)
+            fresh = init_path_state(o, d)
+            sel = lambda a, b: jnp.where(
+                start.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            st = PathState(*[sel(a, b) for a, b in zip(fresh, st)])
+            piter = jnp.where(start, 0, pst.piter)
+            flushed = flushed & ~start
+
+            st = body(ds, st, piter, pixel, sample)
+            # bound runaway passthrough chains exactly like the scan's
+            # iteration budget
+            st = st._replace(alive=st.alive & (piter + 1 < max_piter))
+            busy = (jnp.any(st.alive) | jnp.any(~flushed)
+                    | (next_w < n_items)).astype(jnp.int32)
+            return PoolState(path=st, piter=piter + 1, pixel=pixel,
+                             sample=sample, flushed=flushed, next_w=next_w,
+                             accum=accum, busy=busy), None
+
+        pst, _ = jax.lax.scan(one, pst, None, length=iters_per_step)
+        return pst
+
+    return step

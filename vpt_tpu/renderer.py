@@ -210,6 +210,98 @@ class Renderer:
 
         return jax.jit(step, donate_argnums=(1,))
 
+    def _pool_config(self):
+        """Path-pool regeneration renderer (render/pool.py) parameters for
+        the path-shader family. The pool pays only ~mean-path-length
+        iterations per sample instead of `bounces`, so it beats the
+        fixed-depth scan at every bounce count (measured 2.4x at b8 and 8x
+        at the published b64 config, PERF.md round 4). Returns None for
+        non-path shaders (AOVs, eyelight, implicit keep the scan)."""
+        p = self.params
+        if p.shader not in ("volpathtrace", "pathtrace", "naive"):
+            return None
+        import numpy as _np
+
+        mat_types = frozenset(int(t) for t in _np.unique(self.arrays.mat_type))
+        a = self.arrays
+        tex_slots = frozenset(
+            name for name, arr in (
+                ("emission", a.mat_emission_tex),
+                ("color", a.mat_color_tex),
+                ("roughness", a.mat_roughness_tex),
+                ("scattering", a.mat_scattering_tex),
+                ("normal", a.mat_normal_tex),
+            ) if (_np.asarray(arr) >= 0).any())
+        has_opacity = bool(
+            (_np.asarray(a.mat_opacity) < 1.0).any()
+            or (_np.asarray(a.vert_color)[:, 3] < 1.0).any()
+            or ("color" in tex_slots
+                and (_np.asarray(a.tex_pixels)[:, 3] < 1.0).any()))
+        opacity_extra = 8 if has_opacity else 0
+        return dict(
+            bounces=p.bounces, enable_volume=(p.shader == "volpathtrace"),
+            mis=(p.shader != "naive"), naive=(p.shader == "naive"),
+            seed=p.seed, mat_types=mat_types, tex_slots=tex_slots,
+            opacity_extra=opacity_extra, can_opacity=has_opacity,
+            env_meta=self._env_meta())
+
+    def _render_pool(self, n: int, progress, pool_cfg, iters_per_step=32):
+        """Pool render loop (render/pool.py): sample batches of the global
+        (pixel, sample) work queue; within a batch, dispatch
+        fixed-iteration chunks until the queue drains."""
+        from .render import pool as PL
+
+        P = self.width * self.height
+        R = min(P, 1 << 20)
+        batch = max(1, min(64, n, (2 ** 31 - 1) // P))
+        if not hasattr(self, "_pool_steps"):
+            self._pool_steps = {}
+
+        def get_step(b):
+            # the compiled program depends on the batch size and on whether
+            # this is a single-sample render (center-of-pixel jitter);
+            # NOT on the total spp — cache across render() calls
+            key = (b, n == 1, iters_per_step)
+            if key not in self._pool_steps:
+                raw = PL.make_pool_step(
+                    self.lights, self.n_envs, camera=self.params.camera,
+                    width=self.width, height=self.height, batch_samples=b,
+                    total_samples=1 if n == 1 else 2,
+                    iters_per_step=iters_per_step, n_lanes=R, **pool_cfg)
+                self._pool_steps[key] = jax.jit(raw, donate_argnums=(1,))
+            return self._pool_steps[key]
+
+        t0 = time.time()
+        pst = PL.init_pool_state(R, P)
+        first = True
+        self.compile_seconds = 0.0
+        for s0 in range(0, n, batch):
+            b = min(batch, n - s0)
+            step = get_step(b)
+            pst = pst._replace(
+                next_w=jnp.int32(0), busy=jnp.int32(1))
+            while True:
+                pst = step(self.ds, pst, jnp.int32(s0))
+                # ONE cheap i32 device_get per dispatch: fetching donated /
+                # bool outputs through the remote-TPU tunnel measured ~6 s
+                # per fetch (tools notes); i32 device_get tracks device time
+                busy = int(jax.device_get(pst.busy))
+                if first:
+                    self.compile_seconds = time.time() - t0
+                    first = False
+                    if progress is not None and self.compile_seconds > 1.0:
+                        progress(-1, n)
+                if progress is not None:
+                    frac = int(jax.device_get(pst.next_w)) / (P * b)
+                    progress(min(int(s0 + b * frac), n), n)
+                if not busy:
+                    break
+        accum = np.asarray(jax.jit(lambda a: a + 0.0)(pst.accum))
+        img = (accum / n).reshape(self.height, self.width, 4)
+        state = RS.RenderState(accum=jnp.asarray(accum),
+                               samples=jnp.int32(n))
+        return img, state
+
     def render(self, samples: int | None = None, progress=None,
                state: RS.RenderState | None = None, chunk: int = 8,
                checkpoint: str | None = None, checkpoint_every: int = 0):
@@ -225,6 +317,14 @@ class Renderer:
         p = self.params
         n = samples if samples is not None else p.samples
         chunk = max(1, min(chunk, n))
+        # deep-bounce path configs route to the pool renderer (same
+        # estimator, ~E[path length]/bounces of the work); the scan path
+        # keeps serving checkpointed / resumed renders (the pool's carried
+        # in-flight path state is not a serializable checkpoint)
+        if state is None and checkpoint is None and self.n_devices == 1:
+            pool_cfg = self._pool_config()
+            if pool_cfg is not None:
+                return self._render_pool(n, progress, pool_cfg)
         if state is None and checkpoint is not None and os.path.exists(checkpoint):
             state = CK.load_checkpoint(checkpoint, p, self.width, self.height)
         if state is None:
