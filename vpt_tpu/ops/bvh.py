@@ -339,12 +339,13 @@ def _intersect_pallas_sorted(ds, ray_o, ray_d, tmax, tmin, alive, ls):
     isect = intersect_bvh_pallas(
         ds.bvh_packed, ps[:, 0:3], ps[:, 3:6], tmax=ps[:, 6], tmin=tmin,
         ls=ls)
+    # NOTE: tri must be un-permuted as int32 — a bitcast through f32 would
+    # let the TPU flush denormal bit patterns (small triangle ids) to zero
+    # and canonicalize 0xFFFFFFFF (-1) as a NaN
     out_pack = jnp.concatenate(
-        [isect["dist"][:, None], isect["uv"],
-         jax.lax.bitcast_convert_type(isect["tri"], jnp.float32)[:, None]],
-        axis=1)
+        [isect["dist"][:, None], isect["uv"]], axis=1)
     ou = jnp.take(out_pack, inv, axis=0)
-    tri = jax.lax.bitcast_convert_type(ou[:, 3], jnp.int32)
+    tri = jnp.take(isect["tri"], inv, axis=0)
     hit = tri >= 0
     return {
         "hit": hit,

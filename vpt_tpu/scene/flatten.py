@@ -482,10 +482,11 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
     mat_tex_meta = np.zeros((M, 5, 5), f32)
     mat_tex_meta[:, :, 1] = -1.0  # off_lo = -1 marks unbound
     mat_tex_meta[:, :, 2:4] = 1.0
+    n_real_tex = len(scene.textures)
     for s, ids in enumerate(mat_tex_arrays):
         for mi in range(M):
             t = int(ids[mi])
-            if t >= 0:
+            if 0 <= t < n_real_tex:
                 o = int(tex_off_a[t])
                 mat_tex_meta[mi, s] = [o // 65536, o % 65536,
                                        int(tex_w_a[t]), int(tex_h_a[t]),
