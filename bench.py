@@ -64,8 +64,17 @@ def bench_published_config():
     return 64 * r.width * r.height / dt
 
 
+SAMPLES_PER_STEP = 4  # grad-step sample mini-batch (HBM-bound at ~8-16)
+
+
 def bench_fwd_bwd(r):
-    """Differentiable step: forward render + backward to all diff params."""
+    """Differentiable step: forward render + backward to all diff params.
+    Each step processes SAMPLES_PER_STEP samples per pixel (averaged before
+    the loss). Completion is forced with a scalar value fetch — through the
+    remote-TPU tunnel block_until_ready was observed returning before
+    queued computations finished."""
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -74,19 +83,20 @@ def bench_fwd_bwd(r):
     mesh = make_mesh()
     shade = r._make_shader()
     step = make_grad_step(mesh, shade, r.width, r.height,
-                          total_samples=r.params.samples)
+                          total_samples=r.params.samples,
+                          samples_per_step=SAMPLES_PER_STEP)
     params = extract_params(r.ds)
     target = jnp.zeros((r.width * r.height, 3), jnp.float32)
     jstep = jax.jit(step)
     loss, _ = jstep(r.ds, params, target, jnp.int32(0))  # compile + warm
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
     iters = 4
     t0 = time.time()
     for i in range(iters):
         loss, _ = jstep(r.ds, params, target, jnp.int32(i + 1))
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
     dt = time.time() - t0
-    paths_per_sec = iters * r.width * r.height / dt
+    paths_per_sec = iters * SAMPLES_PER_STEP * r.width * r.height / dt
     flops = None
     try:
         cost = jstep.lower(r.ds, params, target, jnp.int32(0)).compile()

@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vecmath import FLT_MAX, RAY_EPS
 
 LANES = 128
-BLOCK_ROWS = 16          # 16 x 128 = 2048 rays per packet
+BLOCK_ROWS = 32          # 32 x 128 = 4096 rays per packet (round-4 sweep:
+                         # with Morton-sorted bounce rays, 32 rows beat 16
+                         # by ~8% coherent / ~5% incoherent)
 ISTACK_DEPTH = 96        # internal-node stack
 LSTACK_DEPTH = 96        # leaf stack (leaf-priority keeps it shallow)
 POPS = 2                 # record pops per while-loop iteration

@@ -131,22 +131,38 @@ def make_sharded_render_fn(mesh: Mesh, shade_fn, width: int, height: int,
 
 def make_grad_step(mesh: Mesh, shade_fn, width: int, height: int,
                    camera_id: int = 0, total_samples: int = 64,
-                   seed: int = 1301081, lr: float = 1e-2):
+                   seed: int = 1301081, lr: float = 1e-2,
+                   samples_per_step: int = 1):
     """Full differentiable "training" step: render sharded rays, L2 loss
     against a target image, grads w.r.t. material/volume params all-reduced
     across the mesh, SGD update. This is the multi-chip path the driver
     dry-runs (rays = data parallel axis; params replicated like weights).
+
+    samples_per_step: mini-batch S samples per pixel in one program (lanes =
+    S x local pixels, per-lane sample ids) — amortizes per-op fixed costs on
+    the VPU; the loss averages the S samples before the L2.
     """
     from ..render.state import camera_rays
 
     axis = mesh.axis_names[0]
+    S = samples_per_step
 
     def local_step(ds, params, target_local, pixel_ids, sample_id):
         def loss_fn(p):
             ds_p = insert_params(ds, p)
-            o, d = camera_rays(ds_p, camera_id, width, height, pixel_ids,
-                               sample_id, total_samples, seed)
-            radiance, _ = shade_fn(ds_p, o, d, pixel_ids, sample_id)
+            if S == 1:
+                pix, samp = pixel_ids, sample_id
+            else:
+                N = pixel_ids.shape[0]
+                pix = jnp.tile(pixel_ids, S)
+                samp = jnp.repeat(
+                    sample_id * S + jnp.arange(S, dtype=jnp.int32), N)
+            o, d = camera_rays(ds_p, camera_id, width, height, pix,
+                               samp, total_samples, seed)
+            radiance, _ = shade_fn(ds_p, o, d, pix, samp)
+            if S > 1:
+                radiance = radiance.reshape(
+                    S, pixel_ids.shape[0], 3).mean(axis=0)
             # mean over *global* pixels: local sum / global count
             err = jnp.sum((radiance - target_local) ** 2)
             return err / (width * height * 3)
