@@ -45,6 +45,23 @@ def bench_forward(r):
     return 32 * r.width * r.height / dt
 
 
+def bench_implicit():
+    """SDF sphere-tracing shader on 06_gridsdf at the reference's default
+    maxiter 450 (yocto_pathtrace.h:98) — VERDICT round-3 ask #2."""
+    import time
+
+    from vpt_tpu.renderer import Renderer, RenderParams
+
+    p = RenderParams(shader="implicit", samples=16, resolution=360,
+                     bounces=4, spheretrace_maxiter=450)
+    r = Renderer("/root/reference/tests/06_gridsdf/gridsdf.json", p)
+    r.render(samples=2, chunk=2)  # compile + warm
+    t0 = time.time()
+    r.render(samples=8, chunk=2)
+    dt = time.time() - t0
+    return 8 * r.width * r.height / dt
+
+
 def bench_published_config():
     """The reference's published lowres config for 03_volume
     (run.sh:6-10): 720 px, bounces 64. Measured as a warm 64-spp render;
@@ -121,7 +138,9 @@ def main():
     fwd = bench_forward(r)
     fwdbwd, flops_per_sec = bench_fwd_bwd(r)
     pub = bench_published_config()
+    implicit = bench_implicit()
     extra = {
+        "implicit_06_360px_maxiter450_paths_per_sec": round(implicit, 1),
         "fwd_paths_per_sec": round(fwd, 1),
         "fwd_vs_ref_cpu": round(fwd / REF_CPU_PATHS_PER_SEC, 3),
         "published_720px_b64_paths_per_sec": round(pub, 1),

@@ -226,22 +226,134 @@ def eval_grid_sdf_indexed(grid_values, vol_id, whd, res, scalef, p_local, t):
 # scene SDF + sphere tracing
 # ---------------------------------------------------------------------------
 
+def _grid_sdf_parts(grid_values_shape, vol_id, whd, res, scalef, p_local, t):
+    """Addressing-only half of eval_grid_sdf_indexed: returns
+    (idx (...,) flat CELL index into the 8-corner row table, wgt (...,8),
+    bbox_dist, inside) with NO gather — eval_sdf_scene batches every
+    instance's tap into one row-gather."""
+    G, D, H, W = grid_values_shape
+    grid_res = whd.astype(jnp.float32)
+    bbox_size = res * grid_res * scalef
+    bbox_dist = sd_box(p_local - bbox_size * 0.5, bbox_size * 0.5)
+    inside = bbox_dist < FLT_EPS * t
+    uvw = p_local * 2.0 / bbox_size - 1.0
+
+    w = whd[0]
+    h = whd[1]
+    d = whd[2]
+    s = jnp.clip((uvw[..., 0] + 1.0) * 0.5, 0.0, 1.0) * (w - 1)
+    tt = jnp.clip((uvw[..., 1] + 1.0) * 0.5, 0.0, 1.0) * (h - 1)
+    r = jnp.clip((uvw[..., 2] + 1.0) * 0.5, 0.0, 1.0) * (d - 1)
+    i = jnp.clip(s.astype(jnp.int32), 0, w - 1)
+    j = jnp.clip(tt.astype(jnp.int32), 0, h - 1)
+    k = jnp.clip(r.astype(jnp.int32), 0, d - 1)
+    u = s - i
+    v = tt - j
+    ww = r - k
+    idx = vol_id * (D * H * W) + (k * H + j) * W + i
+    wgt = jnp.stack([
+        (1 - u) * (1 - v) * (1 - ww),
+        u * (1 - v) * (1 - ww),
+        (1 - u) * v * (1 - ww),
+        (1 - u) * (1 - v) * ww,
+        (1 - u) * v * ww,
+        u * (1 - v) * ww,
+        u * v * (1 - ww),
+        u * v * ww,
+    ], axis=-1)
+    return idx, wgt, bbox_dist, inside
+
+
+# corner order must match _grid_sdf_parts' weight order:
+# [(i,j,k), (i+1,j,k), (i,j+1,k), (i,j,k+1), (i,j+1,k+1), (i+1,j,k+1),
+#  (i+1,j+1,k), (i+1,j+1,k+1)] with +1 clamped at each grid's TRUE dims
+_CELL_CORNERS = [
+    (0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0),
+    (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]  # (dz, dy, dx)
+
+_CELL_ROW_LIMIT = 16_000_000  # cells; 8x duplication => <= 512 MB
+
+
+def _grid_cell_rows(grid_values, grid_whd):
+    """(G*D*H*W, 8) row table: each lattice cell's 8 trilinear corners in
+    one row, so a tap is ONE row-gather instead of 8 element-gathers
+    (TPU gathers cost ~per-index: the element form made every sphere-trace
+    iteration pay ~VI x 8 x 1 ms — the dominant implicit-shader cost).
+    Built ON DEVICE from grid_values so gradients flow to the grid (a
+    differentiable parameter class); XLA hoists it out of the marching
+    loop. The +1 shifts clamp at each grid's true dims (whd), matching
+    eval_volume_grid's edge behavior."""
+    G, D, H, W = grid_values.shape
+
+    def shift_clamp(a, axis, true_dim):
+        n = a.shape[axis]
+        s = jnp.concatenate([
+            jax.lax.slice_in_dim(a, 1, n, axis=axis),
+            jax.lax.slice_in_dim(a, n - 1, n, axis=axis)], axis=axis)
+        pos = jnp.arange(n)
+        shape = [1] * a.ndim
+        shape[axis] = n
+        lim = true_dim.reshape((G,) + (1,) * (a.ndim - 1))
+        at_edge = pos.reshape(shape) >= (lim - 1)
+        return jnp.where(at_edge, a, s)
+
+    rows = []
+    for dz, dy, dx in _CELL_CORNERS:
+        a = grid_values
+        if dx:
+            a = shift_clamp(a, 3, grid_whd[:, 0])
+        if dy:
+            a = shift_clamp(a, 2, grid_whd[:, 1])
+        if dz:
+            a = shift_clamp(a, 1, grid_whd[:, 2])
+        rows.append(a.reshape(-1))
+    return jnp.stack(rows, axis=-1)
+
+
 def eval_sdf_scene(ds, p, t):
     """Min over all vol_instances and analytic sdfs (yocto_sdfs.cpp:7-26).
-    Returns (dist, kind, idx): kind 0 = grid instance, 1 = analytic."""
+    Returns (dist, kind, idx): kind 0 = grid instance, 1 = analytic.
+
+    All grid instances' trilinear taps are batched into ONE flat gather per
+    call (a 54k-row gather costs ~1 ms regardless of row width, so the
+    round-3 per-instance gathers made each sphere-trace iteration pay
+    ~VI ms — the dominant cost of the implicit shaders at maxiter 450)."""
     best = jnp.full(p.shape[:-1], FLT_MAX, p.dtype)
     kind = jnp.full(p.shape[:-1], -1, jnp.int32)
     idx = jnp.full(p.shape[:-1], -1, jnp.int32)
     n_vi = ds.vi_frame.shape[0]
-    for i in range(n_vi):
-        p_local = transform_point(ds.vi_frame[i], p)
-        d = eval_grid_sdf_indexed(
-            ds.grid_values, ds.vi_volume[i], ds.grid_whd[ds.vi_volume[i]],
-            ds.grid_res[ds.vi_volume[i]], ds.vi_scalef[i], p_local, t)
-        take = d < best
-        best = jnp.where(take, d, best)
-        kind = jnp.where(take, 0, kind)
-        idx = jnp.where(take, i, idx)
+    if n_vi:
+        use_rows = ds.grid_values.size <= _CELL_ROW_LIMIT
+        parts = []
+        for i in range(n_vi):
+            p_local = transform_point(ds.vi_frame[i], p)
+            parts.append(_grid_sdf_parts(
+                ds.grid_values.shape, ds.vi_volume[i],
+                ds.grid_whd[ds.vi_volume[i]],
+                ds.grid_res[ds.vi_volume[i]], ds.vi_scalef[i], p_local, t))
+        if use_rows:
+            cells = _grid_cell_rows(ds.grid_values, ds.grid_whd)
+            all_idx = jnp.stack([pt[0] for pt in parts], axis=-1)
+            c = jnp.take(cells, all_idx, axis=0)  # (..., VI, 8)
+        else:  # huge grids: per-corner element gathers, no 8x duplication
+            D, H, W = ds.grid_values.shape[1:]
+            flat = ds.grid_values.reshape(-1)
+            shifts = jnp.asarray(
+                [(dz * H + dy) * W + dx for dz, dy, dx in _CELL_CORNERS],
+                jnp.int32)
+            # NOTE: unclamped +1 shifts at true edges read one row over —
+            # only reachable when a sample lands exactly on the last cell
+            # of a non-padded axis; clamp into the buffer
+            all_idx = jnp.stack([pt[0] for pt in parts], axis=-1)
+            c = jnp.take(flat, jnp.minimum(
+                all_idx[..., None] + shifts, flat.shape[0] - 1), axis=0)
+        for i, (_, wgt, bbox_dist, inside) in enumerate(parts):
+            field = jnp.sum(c[..., i, :] * wgt, axis=-1) * ds.vi_scalef[i]
+            d = jnp.where(inside, field, bbox_dist)
+            take = d < best
+            best = jnp.where(take, d, best)
+            kind = jnp.where(take, 0, kind)
+            idx = jnp.where(take, i, idx)
     n_sdf = ds.sdf_frame.shape[0]
     for i in range(n_sdf):
         p_local = transform_point(ds.sdf_frame[i], p)
@@ -333,14 +445,14 @@ def eval_sdf_normal(ds, p, t, kind=None, idx=None):
     When (kind, idx) given, differentiates the specific hit SDF like the
     reference's per-variant overloads; otherwise the whole scene min."""
     h = (FLT_EPS * t)[..., None]
-    offs = [
-        jnp.array([1.0, -1.0, -1.0]),
-        jnp.array([-1.0, -1.0, 1.0]),
-        jnp.array([-1.0, 1.0, -1.0]),
-        jnp.array([1.0, 1.0, 1.0]),
-    ]
-    total = jnp.zeros_like(p)
-    for o in offs:
-        d, _, _ = eval_sdf_scene(ds, p + o * h, t)
-        total = total + o * d[..., None]
+    offs = jnp.array([
+        [1.0, -1.0, -1.0],
+        [-1.0, -1.0, 1.0],
+        [-1.0, 1.0, -1.0],
+        [1.0, 1.0, 1.0],
+    ])
+    # all four taps in one eval_sdf_scene call -> one batched grid gather
+    pts = p[..., None, :] + offs * h[..., None]          # (..., 4, 3)
+    d, _, _ = eval_sdf_scene(ds, pts, t[..., None])      # (..., 4)
+    total = jnp.sum(offs * d[..., None], axis=-2)
     return normalize(total)
