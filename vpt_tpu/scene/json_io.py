@@ -34,6 +34,20 @@ def _frame(vals):
 IDENTITY = _frame(None)
 
 
+_SYNTH_LOCK = __import__("threading").Lock()
+
+
+def _pmap(fn, n: int, workers: int = 8):
+    """Parallel resource map (reference: parallel_for over scene resources,
+    yocto_sceneio.cpp:3829-3857). Order-preserving; serial for n <= 1."""
+    if n <= 1:
+        return [fn(i) for i in range(n)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, n)) as ex:
+        return list(ex.map(fn, range(n)))
+
+
 def _load_shape_file(path: str) -> dict:
     if path.lower().endswith(".ply"):
         return ply_io.load_ply(path)
@@ -209,13 +223,16 @@ def load_json_scene(path: str) -> HostScene:
             )
         )
 
-    # ---- load resources ----
-    for i, uri in enumerate(shape_uris):
-        p = os.path.join(dirname, uri)
+    # ---- load resources (in parallel, like the reference's parallel_for
+    # over scene resources, yocto_sceneio.cpp:3829-3857; the own-codec
+    # PNG/JPEG decoders are numpy-heavy and release the GIL) ----
+    def load_one_shape(i):
+        p = os.path.join(dirname, shape_uris[i])
         if os.path.exists(p):
-            data = _load_shape_file(p)
-        else:
-            data = _synthesize_shape(os.path.basename(uri))
+            return _load_shape_file(p)
+        return _synthesize_shape(os.path.basename(shape_uris[i]))
+
+    for i, data in enumerate(_pmap(load_one_shape, len(shape_uris))):
         s = scene.shapes[i]
         s.positions = data.get("positions")
         s.normals = data.get("normals")
@@ -227,11 +244,15 @@ def load_json_scene(path: str) -> HostScene:
         s.lines = data.get("lines")
         s.points = data.get("points")
 
-    for i, uri in enumerate(volume_uris):
-        p = os.path.join(dirname, uri)
+    def load_one_volume(i):
+        p = os.path.join(dirname, volume_uris[i])
         if not os.path.exists(p):
-            p = _maybe_synthesize_volume(dirname, uri)
-        whd, values, res = load_sdf_volume(p, binary=volume_binary[i])
+            with _SYNTH_LOCK:  # sdfgen caches beside the scene
+                p = _maybe_synthesize_volume(dirname, volume_uris[i])
+        return load_sdf_volume(p, binary=volume_binary[i])
+
+    for i, (whd, values, res) in enumerate(
+            _pmap(load_one_volume, len(volume_uris))):
         v = scene.volumes[i]
         v.whd, v.values, v.res = whd, values, res
 
@@ -266,19 +287,22 @@ def load_json_scene(path: str) -> HostScene:
     # stand-in when the file is missing (several reference tests reference
     # textures that are not checked in, e.g. 04_head1 texture1/2.png)
     normal_slots = {m.normal_tex for m in scene.materials}
-    for i, uri in enumerate(texture_uris):
-        p = os.path.join(dirname, uri)
-        t = scene.textures[i]
+
+    def load_one_texture(i):
         try:
-            pixels, linear = image_io.load_image(p)
+            return image_io.load_image(os.path.join(dirname, texture_uris[i]))
         except FileNotFoundError:
             if i in normal_slots:
-                pixels = np.tile(
-                    np.array([0.5, 0.5, 1.0, 1.0], np.float32), (8, 8, 1))
-            else:
-                pixels = np.full((8, 8, 4), 0.5, np.float32)
-                pixels[..., 3] = 1.0
-            linear = False
+                return np.tile(
+                    np.array([0.5, 0.5, 1.0, 1.0], np.float32),
+                    (8, 8, 1)), False
+            pixels = np.full((8, 8, 4), 0.5, np.float32)
+            pixels[..., 3] = 1.0
+            return pixels, False
+
+    for i, (pixels, linear) in enumerate(
+            _pmap(load_one_texture, len(texture_uris))):
+        t = scene.textures[i]
         t.width, t.height = pixels.shape[1], pixels.shape[0]
         t.pixels, t.linear = pixels, linear
 
@@ -474,10 +498,14 @@ def _load_json_scene_v40(path: str, doc: dict) -> HostScene:
             sd.positions = fv["positions"]
             sd.normals = fv["normals"]
             sd.texcoords = fv["texcoords"]
-    for name, i in tex_map.items():
-        p = _find_path(dirname, "textures", name,
-                       [".hdr", ".exr", ".png", ".jpg"])
-        _load_texture_into(scene, i, p)
+    tex_items = list(tex_map.items())
+
+    def _load_legacy_tex(k):
+        name, i = tex_items[k]
+        _load_texture_into(scene, i, _find_path(
+            dirname, "textures", name, [".hdr", ".exr", ".png", ".jpg"]))
+
+    _pmap(_load_legacy_tex, len(tex_items))
 
     # PLY instance replication (yocto_sceneio.cpp:3245-3280, load_instance
     # :2790: element "instance" with props xx..oz)
@@ -590,6 +618,6 @@ def _load_json_scene_v41(path: str, doc: dict) -> HostScene:
             sd.positions = fv["positions"]
             sd.normals = fv["normals"]
             sd.texcoords = fv["texcoords"]
-    for i, uri in enumerate(tex_files):
-        _load_texture_into(scene, i, os.path.join(dirname, uri))
+    _pmap(lambda i: _load_texture_into(
+        scene, i, os.path.join(dirname, tex_files[i])), len(tex_files))
     return scene

@@ -137,6 +137,13 @@ class ViewerServer:
     def stop(self):
         self._stop.set()
         self.httpd.shutdown()
+        # join the refine worker before interpreter teardown: a daemon
+        # thread mid-JAX-dispatch at process exit aborts inside the PJRT
+        # client destructor ("terminate called after throwing ...") — the
+        # run is green but CI logs end with what looks like a crash
+        self._worker.join(timeout=30)
+        self._serve.join(timeout=5)
+        self.httpd.server_close()
 
 
 def run_web_viewer(scene_path: str, params, host: str = "127.0.0.1",
