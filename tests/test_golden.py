@@ -107,3 +107,17 @@ def test_golden_standin_oracles(name, shader, bounces, golden, thresh):
     ref = load_png(os.path.join(GOLDENS, golden))[..., :3]
     mae = _mae_vs_golden(srgb, ref)
     assert mae < thresh, f"{name}: down4 MAE {mae:.4f} >= {thresh}"
+
+
+def test_golden_highres_01():
+    """The reference's highres config (scripts/run-highres.sh: 1280 px)
+    for 01_surface — exercises chunking/memory at 4x the pixel count of the
+    lowres rows; full-spp row (256 spp, MAE 0.0148) in GOLDEN.md."""
+    from vpt_tpu.scene.jpeg import load_jpeg
+
+    srgb = _render(os.path.join(REF, "01_surface", "surface.json"),
+                   "pathtrace", 16, 1280, 4)
+    golden = load_jpeg(
+        "/root/reference/check/highres/01_surface_1280_1024.jpg")[..., :3]
+    mae = _mae_vs_golden(srgb, golden)
+    assert mae < 0.035, f"01_surface highres: down4 MAE {mae:.4f}"

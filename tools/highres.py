@@ -61,8 +61,7 @@ def main():
         out_jpg = os.path.join(args.out, f"{scene}_1280_{args.spp}.jpg")
         save_render(out_jpg, img)
         golden = load_jpeg(
-            f"/root/reference/check/highres/{scene}_1280_1024.jpg"
-        ).astype(np.float32) / 255.0
+            f"/root/reference/check/highres/{scene}_1280_1024.jpg")
         mae = float(np.abs(down4(srgb) - down4(golden)).mean())
         results[scene] = {
             "resolution": 1280, "spp": args.spp, "shader": shader,
