@@ -180,5 +180,20 @@ def test_web_viewer_serves_frames_and_commands():
         st3 = json.loads(urllib.request.urlopen(
             base + "/status", timeout=10).read())
         assert st3["bounces"] == 3
+        # pointer-drag turntable: continuous orbit/pan/dolly commands
+        # (reference mouse interaction, ypathtrace.cpp:269-297)
+        for cmd in (b"orbit 0.12 -0.05", b"pan 0.02 0.01", b"dolly -0.1"):
+            req = urllib.request.Request(base + "/cmd", data=cmd,
+                                         method="POST")
+            assert urllib.request.urlopen(req, timeout=60).status == 200
+        st4 = json.loads(urllib.request.urlopen(
+            base + "/status", timeout=10).read())
+        assert st4["version"] > st3["version"]
+        # multipart frame stream pushes at least one PNG part
+        stream = urllib.request.urlopen(base + "/stream", timeout=30)
+        assert "multipart/x-mixed-replace" in stream.headers["Content-Type"]
+        head = stream.read(200)
+        assert b"--vptframe" in head and b"image/png" in head
+        stream.close()
     finally:
         server.stop()

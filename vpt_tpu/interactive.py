@@ -298,6 +298,27 @@ class InteractiveSession:
         frame = np.asarray(self.renderer.ds.cam_frame)[cam]
         if cmd == "q":
             return False
+        parts = cmd.strip().split()
+        if parts and parts[0] in ("orbit", "pan", "dolly"):
+            # continuous pointer-driven control (reference mouse turntable,
+            # ypathtrace.cpp:269-297: rotate = mouse_delta/100, pan likewise,
+            # dolly on wheel) — the browser viewer streams drag deltas here
+            try:
+                vals = [float(v) for v in parts[1:3]]
+            except ValueError:
+                return True
+            rotate, pan, dolly = (0.0, 0.0), (0.0, 0.0), 0.0
+            if parts[0] == "orbit" and len(vals) == 2:
+                rotate = (vals[0], vals[1])
+            elif parts[0] == "pan" and len(vals) == 2:
+                pan = (vals[0] * self.focus, vals[1] * self.focus)
+            elif parts[0] == "dolly" and len(vals) >= 1:
+                dolly = vals[0]
+            frame, self.focus = camera_turntable(
+                frame, self.focus, rotate=rotate, dolly=dolly, pan=pan)
+            self._set_camera(frame)
+            self.reset()
+            return True
         if cmd in "adws+-hjkl":
             pans = {"h": (-0.05, 0), "l": (0.05, 0), "j": (0, -0.05),
                     "k": (0, 0.05)}

@@ -31,22 +31,49 @@ input { background:#222; color:#ccc; border:1px solid #444; width:22em; }
 <div id="bar">vpt_tpu — keys: a/d/w/s orbit, +/- dolly, h/j/k/l pan,
  e/E exposure, f filmic, r restart &nbsp; <span id="st"></span></div>
 <div><input id="cmd" placeholder="command: shader pathtrace | samples 64 | bounces 8 | resolution 360 | pratio 4"/></div>
-<img id="view" src="/frame.png"/>
+<img id="view" src="/stream" draggable="false"/>
 <script>
 const img = document.getElementById("view");
 const st = document.getElementById("st");
-let last = "";
 async function tick() {
   try {
     const s = await (await fetch("/status")).json();
     st.textContent = s.samples + " spp  " + s.width + "x" + s.height;
-    const key = s.version + ":" + s.samples;
-    if (key !== last) { last = key; img.src = "/frame.png?" + key; }
   } catch (e) {}
-  setTimeout(tick, 250);
+  setTimeout(tick, 500);
 }
 tick();
 function send(c) { fetch("/cmd", {method: "POST", body: c}); }
+// pointer-drag turntable (reference: alt+mouse in the GLFW window,
+// ypathtrace.cpp:269-297 — rotate = delta/100; shift/right-drag pans)
+let drag = null, acc = [0, 0], accMode = "orbit", flushTimer = null;
+function flush() {
+  flushTimer = null;
+  if (acc[0] || acc[1]) {
+    send(accMode + " " + acc[0].toFixed(4) + " " + acc[1].toFixed(4));
+    acc = [0, 0];
+  }
+}
+img.addEventListener("pointerdown", (ev) => {
+  drag = [ev.clientX, ev.clientY];
+  accMode = (ev.button === 2 || ev.shiftKey) ? "pan" : "orbit";
+  img.setPointerCapture(ev.pointerId);
+  ev.preventDefault();
+});
+img.addEventListener("pointermove", (ev) => {
+  if (!drag) return;
+  const dx = (ev.clientX - drag[0]) / 100, dy = (ev.clientY - drag[1]) / 100;
+  drag = [ev.clientX, ev.clientY];
+  if (accMode === "pan") { acc[0] -= dx; acc[1] += dy; }
+  else { acc[0] += dx; acc[1] += dy; }
+  if (!flushTimer) flushTimer = setTimeout(flush, 60);
+});
+img.addEventListener("pointerup", (ev) => { drag = null; flush(); });
+img.addEventListener("contextmenu", (ev) => ev.preventDefault());
+img.addEventListener("wheel", (ev) => {
+  send("dolly " + (ev.deltaY > 0 ? 0.1 : -0.1));
+  ev.preventDefault();
+}, {passive: false});
 document.addEventListener("keydown", (ev) => {
   if (ev.target.tagName === "INPUT") return;
   if ("adws+-hjkleEfr123456789".includes(ev.key)) send(ev.key);
@@ -80,6 +107,44 @@ class ViewerServer:
 
             def do_GET(self):
                 s = outer.session
+                if self.path.startswith("/stream"):
+                    # multipart/x-mixed-replace push stream: a new frame is
+                    # written whenever the progressive state advances (the
+                    # reference redraws its GL texture per refinement pass,
+                    # ypathtrace.cpp:215-228); replaces PNG polling
+                    from .scene.image_io import encode_png
+
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=vptframe")
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    last = None
+                    try:
+                        while not outer._stop.is_set():
+                            key = (s._version, s.current_samples)
+                            disp = s.display
+                            if key == last or disp is None:
+                                outer._stop.wait(0.1)
+                                continue
+                            last = key
+                            rgba = np.concatenate(
+                                [np.clip(disp, 0, 1),
+                                 np.ones_like(disp[..., :1])], axis=-1)
+                            body = encode_png(
+                                (rgba * 255 + 0.5).astype(np.uint8))
+                            self.wfile.write(
+                                b"--vptframe\r\n"
+                                b"Content-Type: image/png\r\n"
+                                b"Content-Length: "
+                                + str(len(body)).encode() + b"\r\n\r\n")
+                            self.wfile.write(body)
+                            self.wfile.write(b"\r\n")
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    return
                 if self.path.startswith("/frame.png"):
                     disp = s.display
                     if disp is None:
