@@ -54,8 +54,8 @@ def _mae_vs_golden(srgb, golden):
 
 
 @pytest.mark.parametrize("scene,json_name,shader,bounces,spp,thresh", [
-    ("01_surface", "surface.json", "pathtrace", 4, 16, 0.035),
-    ("03_volume", "volume.json", "volpathtrace", 8, 16, 0.045),
+    ("01_surface", "surface.json", "pathtrace", 4, 16, 0.024),
+    ("03_volume", "volume.json", "volpathtrace", 8, 16, 0.040),
 ])
 def test_golden_lowres(scene, json_name, shader, bounces, spp, thresh):
     from vpt_tpu.scene.jpeg import load_jpeg
@@ -70,8 +70,8 @@ def test_golden_lowres(scene, json_name, shader, bounces, spp, thresh):
 
 
 @pytest.mark.parametrize("scene,json_name,golden,thresh", [
-    ("06_gridsdf", "gridsdf.json", "ref06_implicit_180_8spp.png", 0.04),
-    ("07_sdfunction", "sdfunction.json", "ref07_implicit_180_8spp.png", 0.04),
+    ("06_gridsdf", "gridsdf.json", "ref06_implicit_180_8spp.png", 0.026),
+    ("07_sdfunction", "sdfunction.json", "ref07_implicit_180_8spp.png", 0.027),
 ])
 def test_golden_implicit(scene, json_name, golden, thresh):
     from vpt_tpu.scene.image_io import load_png
@@ -85,13 +85,13 @@ def test_golden_implicit(scene, json_name, golden, thresh):
 
 @pytest.mark.parametrize("name,shader,bounces,golden,thresh", [
     ("02_rollingteapot", "pathtrace", 4,
-     "ref02_pathtrace_360_64spp.png", 0.020),
+     "ref02_pathtrace_360_64spp.png", 0.013),
     ("04_head1", "pathtrace", 4,
-     "ref04_pathtrace_360_64spp.png", 0.015),
+     "ref04_pathtrace_360_64spp.png", 0.009),
     ("05_head1ss", "volpathtrace", 64,
-     "ref05_volpathtrace_360_64spp.png", 0.045),
+     "ref05_volpathtrace_360_64spp.png", 0.028),
     ("nested_media", "volpathtrace", 8,
-     "refnested_volpathtrace_360_64spp.png", 0.030),
+     "refnested_volpathtrace_360_64spp.png", 0.017),
 ])
 def test_golden_standin_oracles(name, shader, bounces, golden, thresh):
     """Apples-to-apples oracles for the asset-limited scenes (round-3 close
