@@ -49,6 +49,14 @@ class RenderParams:
     noimplicit_mis: bool = False
     spheretrace_maxiter: int = 450
     seed: int = 1301081
+    # extra wavefront iterations funding opacity-passthrough crossings
+    # (reference bounce-rewind parity, yocto_pathtrace.cpp:607-611). -1 =
+    # auto (8 when the scene can produce opacity < 1, else 0). The rewind
+    # makes opacity probabilistic transparency, so truncating a path after
+    # k crossings biases by at most (1-opacity)^k x radiance-behind — for
+    # stacks deeper than 8 layers of strong transparency raise this knob
+    # (pinned by tests/test_renderer.py::test_opacity_extra_budget_bound).
+    opacity_extra: int = -1
 
 
 class Renderer:
@@ -137,9 +145,11 @@ class Renderer:
                 naive=(s == "naive"), seed=p.seed, mat_types=mat_types,
                 tex_slots=tex_slots,
                 # the reference allows unlimited free crossings (its loop
-                # counter rewinds); 8 extra iterations cover opacity stacks
-                # 8 deep, beyond which the 0.4^8 throughput is invisible
-                opacity_extra=8 if has_opacity else 0,
+                # counter rewinds); k extra iterations truncate paths after
+                # k crossings with bias <= (1-opacity)^k x radiance behind
+                # the stack (RenderParams.opacity_extra raises the budget)
+                opacity_extra=(p.opacity_extra if p.opacity_extra >= 0
+                               else (8 if has_opacity else 0)),
                 can_opacity=has_opacity, env_meta=self._env_meta())
         if s == "eyelight":
             return make_eyelight_shader(
@@ -237,7 +247,8 @@ class Renderer:
             or (_np.asarray(a.vert_color)[:, 3] < 1.0).any()
             or ("color" in tex_slots
                 and (_np.asarray(a.tex_pixels)[:, 3] < 1.0).any()))
-        opacity_extra = 8 if has_opacity else 0
+        opacity_extra = (p.opacity_extra if p.opacity_extra >= 0
+                         else (8 if has_opacity else 0))
         return dict(
             bounces=p.bounces, enable_volume=(p.shader == "volpathtrace"),
             mis=(p.shader != "naive"), naive=(p.shader == "naive"),
