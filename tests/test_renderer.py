@@ -245,3 +245,18 @@ def test_opacity_extra_budget_bound():
     bias = means[24] - means[8]
     assert 0 <= bias <= 0.9 ** 9 * 5.0, (means, bias)
     assert means[8] < 0.05, means  # and the knob is what recovers it
+
+
+def test_cli_range_validation():
+    """Numeric option ranges (ypathtrace.cpp:314-329): out-of-range values
+    exit with an error, including values sourced from --config."""
+    import json
+
+    import pytest
+
+    from vpt_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="resolution"):
+        main(["--scene", "x.json", "--resolution", "5000"])
+    with pytest.raises(SystemExit, match="bounces"):
+        main(["--scene", "x.json", "--bounces", "0"])

@@ -83,6 +83,18 @@ def main(argv=None):
             if getattr(args, dest) == defaults[dest]:
                 setattr(args, dest, val)
 
+    # numeric option ranges (ypathtrace.cpp:314-329 via yocto_cli's
+    # add_option(..., range) — checked after config merge so config-file
+    # values are validated too)
+    RANGES = {"resolution": (1, 4096), "samples": (1, 4096),
+              "bounces": (1, 128), "stmaxiter": (1, 512),
+              "pratio": (1, 64), "camera": (0, 64)}
+    for dest, (lo, hi) in RANGES.items():
+        v = getattr(args, dest)
+        if not (lo <= int(v) <= hi):
+            raise SystemExit(
+                f"--{dest}: value {v} out of range [{lo}, {hi}]")
+
     if args.cpu:
         import jax
 

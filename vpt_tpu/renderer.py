@@ -264,7 +264,10 @@ class Renderer:
 
         P = self.width * self.height
         R = min(P, 1 << 20)
-        batch = max(1, min(64, n, (2 ** 31 - 1) // P))
+        # one queue for the whole render when the i32 item counter allows:
+        # fewer batch boundaries = fewer drain tails (64-cap only guards
+        # gigapixel x kilo-spp renders)
+        batch = max(1, min(256, n, (2 ** 31 - 1) // P))
         if not hasattr(self, "_pool_steps"):
             self._pool_steps = {}
 
