@@ -1,4 +1,5 @@
-"""Pallas TPU packet-traversal kernel for the 4-wide BVH.
+"""Pallas TPU packet-traversal kernel for the BVH (4-ary build collapsed to
+8-wide node records for traversal).
 
 Why a kernel: the pure-XLA traversal (ops/bvh.py) is a *global* lock-step
 while-loop whose per-iteration cost is two HBM gathers over every ray — TPU
@@ -24,8 +25,8 @@ iteration):
   - leaves hold LEAF_SIZE=8 triangles (halves leaf pops; the 8 extra
     Moller-Trumbore lanes ride the same VPU op).
 
-VMEM layout: nodes (N, 128) f32 — 24 slab floats + 4 child refs stored as
-exact f32 values + pad. leaves (L, 128) f32 — LS triangles x 9 coords + LS
+VMEM layout: nodes (N, 128) f32 — 48 slab floats (8 children) + 8 child
+refs stored as exact f32 values + pad. leaves (L, 128) f32 — LS triangles x 9 coords + LS
 triangle ids as f32 (exact below 2^24) + pad. Child ref encoding matches
 ops/bvh.py: >=0 internal, <=-2 leaf -(ref+2), -1 empty.
 
@@ -62,26 +63,76 @@ RESIDENT_BYTES = 10 * 1024 * 1024  # VMEM-resident BVH budget
 NEG_INF = float(np.float32(-np.inf))
 
 
+NODE_WIDTH = 8           # children per packed node row (8x6 slabs + 8 refs
+                         # + pad = 56 <= 128 lanes)
+
+
 class PallasBvh(NamedTuple):
-    nodes: jnp.ndarray   # (N, 128) f32, one node record per row
+    nodes: jnp.ndarray   # (N, 128) f32, one 8-wide node record per row
     leaves: jnp.ndarray  # (L, 128) f32, one leaf record per row
     root: jnp.ndarray    # () i32
 
 
+def _collapse8(node_rec):
+    """Collapse the 4-ary tree into 8-wide nodes: each node greedily absorbs
+    the children of its internal children while <= 8 slots remain. Halves
+    internal pops (the packet kernel's iteration count is the cost driver,
+    PERF.md) and visits the IDENTICAL leaf set, so results are unchanged.
+    Absorbed rows stay in the table unreferenced (no re-indexing).
+
+    Returns (slabs (N, 8, 6) f32, refs (N, 8) i32 with -1 empty)."""
+    N = node_rec.shape[0]
+    refs4 = node_rec[:, 24:28].view(np.int32)
+    slabs4 = node_rec[:, :24].reshape(N, 4, 6)
+    out_refs = np.full((N, NODE_WIDTH), -1, np.int32)
+    out_slabs = np.zeros((N, NODE_WIDTH, 6), np.float32)
+    for n in range(N):
+        kids = [(refs4[n, k], slabs4[n, k]) for k in range(4)
+                if refs4[n, k] != -1]
+        changed = True
+        while changed and len(kids) < NODE_WIDTH:
+            changed = False
+            # expand the internal child with the largest bbox area first
+            best, best_area = -1, -1.0
+            for i, (ref, sl) in enumerate(kids):
+                if ref < 0:
+                    continue
+                sub = [k for k in range(4) if refs4[ref, k] != -1]
+                if len(kids) - 1 + len(sub) > NODE_WIDTH:
+                    continue
+                ext = np.maximum(sl[3:6] - sl[0:3], 0.0)
+                area = float(ext[0] * ext[1] + ext[1] * ext[2]
+                             + ext[0] * ext[2])
+                if area > best_area:
+                    best, best_area = i, area
+            if best >= 0:
+                ref, _ = kids.pop(best)
+                for k in range(4):
+                    if refs4[ref, k] != -1:
+                        kids.append((refs4[ref, k], slabs4[ref, k]))
+                changed = True
+        for i, (ref, sl) in enumerate(kids):
+            out_refs[n, i] = ref
+            out_slabs[n, i] = sl
+    return out_slabs, out_refs
+
+
 def from_bvh_arrays(bvh) -> PallasBvh:
-    """Unpack ops/bvh.py's (N,32)/(L,LS*10) records into one-record-per-row
-    128-lane tables, converting bit-cast int refs/ids to exact float values."""
-    node_rec = np.asarray(bvh.node_rec).copy()
+    """Pack ops/bvh.py's records into one-record-per-row 128-lane tables:
+    nodes collapsed 4-ary -> 8-wide (see _collapse8), leaves as-is, int
+    refs/ids stored as exact float values."""
+    node_rec = np.asarray(bvh.node_rec)
     leaf_rec = np.asarray(bvh.leaf_rec).copy()
     ls = leaf_rec.shape[1] // 10
     assert ls * 10 <= LANES, f"leaf size {ls} does not fit a 128-lane row"
-    node_rec[:, 24:28] = node_rec[:, 24:28].view(np.int32).astype(np.float32)
     ids = leaf_rec[:, ls * 9:].view(np.int32)
     assert ids.max(initial=0) < (1 << 24), "triangle ids exceed f32 exactness"
     leaf_rec[:, ls * 9:] = ids.astype(np.float32)
     N, L = node_rec.shape[0], leaf_rec.shape[0]
+    slabs8, refs8 = _collapse8(node_rec)
     nodes = np.zeros((N, LANES), np.float32)
-    nodes[:, :32] = node_rec
+    nodes[:, :48] = slabs8.reshape(N, 48)
+    nodes[:, 48:56] = refs8.astype(np.float32)
     leaves = np.full((L, LANES), -1.0, np.float32)
     leaves[:, : ls * 10] = leaf_rec
     return PallasBvh(nodes=nodes, leaves=leaves, root=np.int32(bvh.root))
@@ -179,7 +230,7 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
         rec = lambda i: rec_2d[0, i]
         best_t = t_out[:]
         tn_s, ref_s = [], []
-        for k in range(4):
+        for k in range(NODE_WIDTH):
             b = k * 6
             t0x = (rec(b + 0) - ox) * ix
             t1x = (rec(b + 3) - ox) * ix
@@ -193,14 +244,15 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             tfar = jnp.minimum(
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), best_t)) * 1.00000024
-            kid = rec(24 + k).astype(jnp.int32)
+            kid = rec(6 * NODE_WIDTH + k).astype(jnp.int32)
             # packet-order key doubles as the hit-any flag (< FLT_MAX)
             tn_k = jnp.min(jnp.where(tnear <= tfar, tnear, FLT_MAX))
             any_k = (kid != -1) & (tn_k < FLT_MAX)
             tn_s.append(jnp.where(any_k, tn_k, NEG_INF))
             ref_s.append(jnp.where(any_k, kid, -1))
 
-        # sort children far-to-near (descending key => nearest popped first)
+        # sort children far-to-near (descending key => nearest popped first):
+        # Batcher odd-even merge network for 8
         def cswap(i, j):
             swap = tn_s[i] < tn_s[j]
             tn_s[i], tn_s[j] = (jnp.where(swap, tn_s[j], tn_s[i]),
@@ -208,9 +260,13 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             ref_s[i], ref_s[j] = (jnp.where(swap, ref_s[j], ref_s[i]),
                                   jnp.where(swap, ref_s[i], ref_s[j]))
 
-        cswap(0, 1); cswap(2, 3); cswap(0, 2); cswap(1, 3); cswap(1, 2)
+        for i, j in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+                     (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+                     (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+                     (3, 4)):
+            cswap(i, j)
 
-        for k in range(4):
+        for k in range(NODE_WIDTH):
             kid = ref_s[k]
             is_int = kid >= 0
 
