@@ -343,3 +343,39 @@ def test_implicit_normal_shader():
     # head-on hit at the grid sphere: normal ~ +z -> color ~ (.5, .5, 1)
     np.testing.assert_allclose(val[0], [0.5, 0.5, 1.0], atol=0.05)
     np.testing.assert_allclose(val[1], [0.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_spheretrace_queued_matches_lockstep():
+    """The work-queue sphere tracer must reproduce the lock-step loop
+    exactly (identical per-ray march arithmetic, just different lane
+    scheduling)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import vpt_tpu.ops.sdf as S
+    from vpt_tpu.renderer import Renderer, RenderParams
+
+    r = Renderer("/root/reference/tests/07_sdfunction/sdfunction.json",
+                 RenderParams(shader="implicit", samples=1, resolution=48),
+                 devices=1)
+    R = 1024
+    key = jax.random.PRNGKey(7)
+    o = jax.random.uniform(key, (R, 3), minval=-2.0, maxval=2.0)
+    d = jax.random.normal(jax.random.PRNGKey(8), (R, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    alive = jax.random.uniform(jax.random.PRNGKey(9), (R,)) < 0.9
+
+    lock = jax.jit(lambda: S.spheretrace(r.ds, o, d, 96, alive=alive))()
+    orig_min, orig_lanes = S._QUEUE_MIN_RAYS, S._QUEUE_LANES
+    S._QUEUE_MIN_RAYS, S._QUEUE_LANES = 256, 128
+    try:
+        qd = jax.jit(lambda: S.spheretrace(r.ds, o, d, 96, alive=alive))()
+    finally:
+        S._QUEUE_MIN_RAYS, S._QUEUE_LANES = orig_min, orig_lanes
+    np.testing.assert_array_equal(np.asarray(lock[0]), np.asarray(qd[0]))
+    m = np.asarray(lock[0])
+    np.testing.assert_allclose(np.asarray(lock[1])[m], np.asarray(qd[1])[m],
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(lock[2]), np.asarray(qd[2]))
+    np.testing.assert_array_equal(np.asarray(lock[3]), np.asarray(qd[3]))

@@ -371,11 +371,92 @@ def _sdf_single(ds, sdf_id: int, p):
     return eval_analytic(ds.sdf_type[sdf_id], ds.sdf_params[sdf_id], p_local)
 
 
+_QUEUE_LANES = 8192
+_QUEUE_MIN_RAYS = 4 * _QUEUE_LANES
+
+
+def _spheretrace_queued(ds, ray_o, ray_d, maxiter, tmax, act0, tmin):
+    """Work-queue sphere tracer: C marching lanes pull ray indices from a
+    global queue; a lane that hits/escapes writes its result (masked
+    scatter) and immediately takes the next ray. The lock-step batch loop
+    pays max-steps-over-all-rays iterations at FULL width (~450 x R eval
+    cost at the reference's maxiter); the queue pays ~mean-steps at C-lane
+    width. Per-ray march arithmetic is identical, so results match the
+    lock-step tracer exactly."""
+    R = ray_o.shape[0]
+    C = _QUEUE_LANES
+    t_escape = jnp.float32(1e7)
+
+    def body(st):
+        (next_q, l_ray, l_t, l_it, l_act,
+         o_t, o_hit, o_kind, o_idx) = st
+        p = jnp.take(ray_o, l_ray, axis=0) + \
+            jnp.take(ray_d, l_ray, axis=0) * l_t[:, None]
+        d, k, ix = eval_sdf_scene(ds, p, l_t)
+        is_hit = l_act & (jnp.abs(d) < FLT_EPS * l_t)
+        t_new = jnp.where(l_act & ~is_hit,
+                          jnp.minimum(l_t + d, t_escape), l_t)
+        l_it = l_it + 1
+        cap = jnp.take(tmax, l_ray, axis=0)
+        done = l_act & (is_hit | (t_new >= cap) | (t_new >= t_escape)
+                        | (l_it >= maxiter))
+        l_act2 = l_act & ~done
+        # write finished lanes (masked scatter; idle lanes write row R)
+        tgt = jnp.where(done, l_ray, R)
+        o_t = o_t.at[tgt].set(jnp.where(done, t_new, 0.0), mode="drop")
+        o_hit = o_hit.at[tgt].set(is_hit, mode="drop")
+        o_kind = o_kind.at[tgt].set(jnp.where(is_hit, k, -1), mode="drop")
+        o_idx = o_idx.at[tgt].set(jnp.where(is_hit, ix, -1), mode="drop")
+        # refill from the queue
+        free = ~l_act2
+        rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        w = next_q + rank
+        start = free & (w < R)
+        w = jnp.minimum(w, R - 1)
+        new_ray = w.astype(jnp.int32)
+        starts_alive = start & jnp.take(act0, new_ray, axis=0)
+        l_ray = jnp.where(start, new_ray, l_ray)
+        l_t = jnp.where(start, tmin, t_new)
+        l_it = jnp.where(start, 0, l_it)
+        l_act2 = l_act2 | starts_alive
+        # rays queued dead report miss immediately
+        tgt2 = jnp.where(start & ~starts_alive, new_ray, R)
+        o_t = o_t.at[tgt2].set(tmin, mode="drop")
+        next_q = jnp.minimum(next_q + jnp.sum(free.astype(jnp.int32)), R)
+        return (next_q, l_ray, l_t, l_it, l_act2,
+                o_t, o_hit, o_kind, o_idx)
+
+    def cond(st):
+        return jnp.any(st[4]) | (st[0] < R)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((C,), jnp.int32),
+        jnp.full((C,), tmin, jnp.float32),
+        jnp.zeros((C,), jnp.int32),
+        jnp.zeros((C,), bool),
+        jnp.full((R,), tmin, jnp.float32),
+        jnp.zeros((R,), bool),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.full((R,), -1, jnp.int32),
+    )
+    st = jax.lax.while_loop(
+        cond, body, jax.tree.map(jax.lax.stop_gradient, init))
+    _, _, _, _, _, o_t, o_hit, o_kind, o_idx = st
+    # missed-but-alive rays report t capped like the lock-step loop
+    return (jax.lax.stop_gradient(o_hit), jax.lax.stop_gradient(o_t),
+            jax.lax.stop_gradient(o_kind), jax.lax.stop_gradient(o_idx))
+
+
 def spheretrace(ds, ray_o, ray_d, maxiter: int, tmax=None, alive=None,
                 sdf_id: int | None = None, tmin: float = 1e-4):
     """Batched sphere tracing (yocto_pathtrace.cpp:259-307): march t by the
     scene SDF, hit when |d| < flt_eps * t. sdf_id restricts to one analytic
     SDF (the MIS pdf variant). Returns (hit, t, kind, idx).
+
+    Large batches route through the work-queue tracer (_spheretrace_queued):
+    the lock-step loop runs to the WORST ray's step count at full width,
+    the queue to ~the mean. sdf_id / small batches keep the lock-step loop.
 
     The marching loop is detached from AD; use `reattach_t` for geometry
     gradients.
@@ -384,6 +465,11 @@ def spheretrace(ds, ray_o, ray_d, maxiter: int, tmax=None, alive=None,
     if tmax is None:
         tmax = jnp.full((R,), FLT_MAX, jnp.float32)
     act0 = jnp.ones((R,), bool) if alive is None else alive
+    if sdf_id is None and R >= _QUEUE_MIN_RAYS:
+        return _spheretrace_queued(
+            ds, jax.lax.stop_gradient(ray_o), jax.lax.stop_gradient(ray_d),
+            maxiter, jax.lax.stop_gradient(jnp.minimum(tmax, FLT_MAX)),
+            act0, tmin)
 
     def eval_d(p, t):
         if sdf_id is not None:
