@@ -331,10 +331,12 @@ class Renderer:
         p = self.params
         n = samples if samples is not None else p.samples
         chunk = max(1, min(chunk, n))
-        # deep-bounce path configs route to the pool renderer (same
-        # estimator, ~E[path length]/bounces of the work); the scan path
-        # keeps serving checkpointed / resumed renders (the pool's carried
-        # in-flight path state is not a serializable checkpoint)
+        # path configs route to the pool renderer (same estimator,
+        # ~E[path length]/bounces of the work); the scan path keeps serving
+        # checkpointed / resumed renders (the pool's carried in-flight path
+        # state is not a serializable checkpoint) and multi-device sharding
+        # (the pool's global work queue + image scatter are single-device;
+        # sharded renders use the per-sample scan)
         if state is None and checkpoint is None and self.n_devices == 1:
             pool_cfg = self._pool_config()
             if pool_cfg is not None:
