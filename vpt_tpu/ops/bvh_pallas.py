@@ -10,20 +10,22 @@ stacks in SMEM; each pop reads one record row from a VMEM-resident table
 (scalar-indexed row load, no gather) and tests it against the whole block on
 the VPU. Blocks exit their while-loop as soon as *their* rays are done.
 
-Round-3 redesign (profiled on a v5e: the old kernel spent ~55% of each
-iteration on scalar pop/branch/lax.switch overhead and popped one node per
-iteration):
+Design (round-3 restructure + round-4 widening, profiled on a v5e):
   - records are stored ONE PER 128-lane ROW (nodes (N,128), leaves (L,128)),
     so a pop is a single dynamic row slice — no lax.switch sub-row extract;
+  - node rows are 8-WIDE (the 4-ary build collapsed at pack time,
+    _collapse8): ~half the internal pops for ~the same per-pop VPU cost,
+    children ordered near-to-far by a Batcher-8 network;
   - internal nodes and leaves live on SEPARATE SMEM stacks; each while-loop
     iteration performs POPS(=2) pops, each pop taking a leaf if any is
     pending else an internal node (leaf-priority drains the leaf stack and
-    shrinks best_t early, and bounds the leaf stack to ~4*POPS entries);
+    shrinks best_t early);
   - best t/tri/u/v live in the output VMEM refs and are mutated in place;
     the while-loop carry is two scalars (isp, lsp), so lax.cond branches
     move no vector state;
-  - leaves hold LEAF_SIZE=8 triangles (halves leaf pops; the 8 extra
-    Moller-Trumbore lanes ride the same VPU op).
+  - leaves hold LEAF_SIZE=8 triangles; callers pre-sort bounce rays by
+    (origin Morton, direction octant) so packet unions stay small
+    (ops/bvh.py _intersect_pallas_sorted).
 
 VMEM layout: nodes (N, 128) f32 — 48 slab floats (8 children) + 8 child
 refs stored as exact f32 values + pad. leaves (L, 128) f32 — LS triangles x 9 coords + LS
