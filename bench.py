@@ -81,7 +81,7 @@ def bench_published_config():
     return 64 * r.width * r.height / dt
 
 
-SAMPLES_PER_STEP = 4  # grad-step sample mini-batch (HBM-bound at ~8-16)
+SAMPLES_PER_STEP = 8  # grad-step sample mini-batch (HBM-bound at ~16)
 
 
 def bench_fwd_bwd(r):
@@ -141,6 +141,12 @@ def main():
     implicit = bench_implicit()
     extra = {
         "implicit_06_360px_maxiter450_paths_per_sec": round(implicit, 1),
+        # compiled reference, same host/scene/config (--shader implicit,
+        # 8spp 360px, synthesized .sdf grids): 4.7s wall ~ 96k paths/s on
+        # 2 CPU cores. Honest gap: sphere tracing is dependent-eval
+        # marching; see PERF.md round-4 notes.
+        "implicit_ref_cpu_paths_per_sec": 96000.0,
+        "implicit_vs_ref_cpu": round(implicit / 96000.0, 3),
         "fwd_paths_per_sec": round(fwd, 1),
         "fwd_vs_ref_cpu": round(fwd / REF_CPU_PATHS_PER_SEC, 3),
         "published_720px_b64_paths_per_sec": round(pub, 1),
