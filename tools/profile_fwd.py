@@ -66,12 +66,13 @@ def main():
     dt = timeit(f_isect, hitp, dshuf)
     print(f"traverse incoherent : {dt*1e3:8.2f} ms ({R/dt/1e6:6.2f} Mray/s)")
 
-    # packet-size sweep
+    # packet-size sweep (Pallas blocks must be multiples of 8 sublanes)
     from vpt_tpu.ops import bvh_pallas as BP
-    for rows in (1, 2, 4, 8, 16, 32):
+    ls = int(r.arrays.bvh.leaf_rec.shape[1]) // 10
+    for rows in (8, 16, 32, 64):
         f = jax.jit(lambda o, d, rows=rows: BP._traverse_pallas_impl(
             ds.bvh_packed, o, d, jnp.full((R,), 3.4e38, jnp.float32),
-            1e-4, block_rows=rows))
+            1e-4, ls, block_rows=rows))
         dtc = timeit(f, o, d)
         dti = timeit(f, hitp, dshuf)
         print(f"  block_rows={rows:3d}: coherent {dtc*1e3:8.2f} ms, "

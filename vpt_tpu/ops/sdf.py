@@ -386,36 +386,42 @@ def _spheretrace_queued(ds, ray_o, ray_d, maxiter, tmax, act0, tmin):
     R = ray_o.shape[0]
     C = _QUEUE_LANES
     t_escape = jnp.float32(1e7)
+    # pack ray data so a refill is ONE row gather, and results so a flush
+    # is TWO scatters (per-op fixed costs dominate at C-lane widths)
+    rays = jnp.concatenate(
+        [ray_o, ray_d,
+         jnp.where(act0, jnp.minimum(tmax, t_escape), -1.0)[:, None]],
+        axis=1)  # (R, 7); cap < 0 marks dead-on-arrival rays
 
     def body(st):
-        (next_q, l_ray, l_t, l_it, l_act,
-         o_t, o_hit, o_kind, o_idx) = st
-        p = jnp.take(ray_o, l_ray, axis=0) + \
-            jnp.take(ray_d, l_ray, axis=0) * l_t[:, None]
+        (next_q, l_ray, l_rayrec, l_t, l_it, l_act, o_t, o_meta) = st
+        p = l_rayrec[:, 0:3] + l_rayrec[:, 3:6] * l_t[:, None]
         d, k, ix = eval_sdf_scene(ds, p, l_t)
         is_hit = l_act & (jnp.abs(d) < FLT_EPS * l_t)
         t_new = jnp.where(l_act & ~is_hit,
                           jnp.minimum(l_t + d, t_escape), l_t)
         l_it = l_it + 1
-        cap = jnp.take(tmax, l_ray, axis=0)
-        done = l_act & (is_hit | (t_new >= cap) | (t_new >= t_escape)
-                        | (l_it >= maxiter))
+        done = l_act & (is_hit | (t_new >= l_rayrec[:, 6])
+                        | (t_new >= t_escape) | (l_it >= maxiter))
         l_act2 = l_act & ~done
-        # write finished lanes (masked scatter; idle lanes write row R)
+        # write finished lanes (masked scatter; idle lanes write row R);
+        # meta packs [hit, kind, idx] as hit*2^20 + (kind+1)*2^18 + (idx+1)
         tgt = jnp.where(done, l_ray, R)
         o_t = o_t.at[tgt].set(jnp.where(done, t_new, 0.0), mode="drop")
-        o_hit = o_hit.at[tgt].set(is_hit, mode="drop")
-        o_kind = o_kind.at[tgt].set(jnp.where(is_hit, k, -1), mode="drop")
-        o_idx = o_idx.at[tgt].set(jnp.where(is_hit, ix, -1), mode="drop")
+        meta = (is_hit.astype(jnp.int32) << 20) | \
+               (jnp.where(is_hit, k + 1, 0) << 18) | \
+               jnp.where(is_hit, ix + 1, 0)
+        o_meta = o_meta.at[tgt].set(meta, mode="drop")
         # refill from the queue
         free = ~l_act2
         rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         w = next_q + rank
         start = free & (w < R)
-        w = jnp.minimum(w, R - 1)
-        new_ray = w.astype(jnp.int32)
-        starts_alive = start & jnp.take(act0, new_ray, axis=0)
+        new_ray = jnp.minimum(w, R - 1).astype(jnp.int32)
+        rec_new = jnp.take(rays, new_ray, axis=0)
+        starts_alive = start & (rec_new[:, 6] >= 0)
         l_ray = jnp.where(start, new_ray, l_ray)
+        l_rayrec = jnp.where(start[:, None], rec_new, l_rayrec)
         l_t = jnp.where(start, tmin, t_new)
         l_it = jnp.where(start, 0, l_it)
         l_act2 = l_act2 | starts_alive
@@ -423,27 +429,27 @@ def _spheretrace_queued(ds, ray_o, ray_d, maxiter, tmax, act0, tmin):
         tgt2 = jnp.where(start & ~starts_alive, new_ray, R)
         o_t = o_t.at[tgt2].set(tmin, mode="drop")
         next_q = jnp.minimum(next_q + jnp.sum(free.astype(jnp.int32)), R)
-        return (next_q, l_ray, l_t, l_it, l_act2,
-                o_t, o_hit, o_kind, o_idx)
+        return (next_q, l_ray, l_rayrec, l_t, l_it, l_act2, o_t, o_meta)
 
     def cond(st):
-        return jnp.any(st[4]) | (st[0] < R)
+        return jnp.any(st[5]) | (st[0] < R)
 
     init = (
         jnp.int32(0),
         jnp.zeros((C,), jnp.int32),
+        jnp.zeros((C, 7), jnp.float32),
         jnp.full((C,), tmin, jnp.float32),
         jnp.zeros((C,), jnp.int32),
         jnp.zeros((C,), bool),
         jnp.full((R,), tmin, jnp.float32),
-        jnp.zeros((R,), bool),
-        jnp.full((R,), -1, jnp.int32),
-        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,), jnp.int32),
     )
     st = jax.lax.while_loop(
         cond, body, jax.tree.map(jax.lax.stop_gradient, init))
-    _, _, _, _, _, o_t, o_hit, o_kind, o_idx = st
-    # missed-but-alive rays report t capped like the lock-step loop
+    o_t, o_meta = st[6], st[7]
+    o_hit = (o_meta >> 20) > 0
+    o_kind = ((o_meta >> 18) & 3) - 1
+    o_idx = jnp.where(o_hit, (o_meta & ((1 << 18) - 1)) - 1, -1)
     return (jax.lax.stop_gradient(o_hit), jax.lax.stop_gradient(o_t),
             jax.lax.stop_gradient(o_kind), jax.lax.stop_gradient(o_idx))
 
