@@ -82,41 +82,94 @@ def _collapse8(node_rec):
     PERF.md) and visits the IDENTICAL leaf set, so results are unchanged.
     Absorbed rows stay in the table unreferenced (no re-indexing).
 
+    Vectorized over all nodes (ADVICE r4: the per-node Python greedy loop
+    added substantial scene-load latency on multi-hundred-thousand-node
+    BVHs). Each round, every node expands its largest-area internal child
+    that still fits — identical choice sequence (f32 areas, first-max
+    tie-break) and identical slot order (pop shifts left, children append
+    at the end) as the sequential greedy, so the packed tree is unchanged.
+
     Returns (slabs (N, 8, 6) f32, refs (N, 8) i32 with -1 empty)."""
     N = node_rec.shape[0]
     refs4 = node_rec[:, 24:28].view(np.int32)
     slabs4 = node_rec[:, :24].reshape(N, 4, 6)
-    out_refs = np.full((N, NODE_WIDTH), -1, np.int32)
-    out_slabs = np.zeros((N, NODE_WIDTH, 6), np.float32)
-    for n in range(N):
-        kids = [(refs4[n, k], slabs4[n, k]) for k in range(4)
-                if refs4[n, k] != -1]
-        changed = True
-        while changed and len(kids) < NODE_WIDTH:
-            changed = False
-            # expand the internal child with the largest bbox area first
-            best, best_area = -1, -1.0
-            for i, (ref, sl) in enumerate(kids):
-                if ref < 0:
-                    continue
-                sub = [k for k in range(4) if refs4[ref, k] != -1]
-                if len(kids) - 1 + len(sub) > NODE_WIDTH:
-                    continue
-                ext = np.maximum(sl[3:6] - sl[0:3], 0.0)
-                area = float(ext[0] * ext[1] + ext[1] * ext[2]
-                             + ext[0] * ext[2])
-                if area > best_area:
-                    best, best_area = i, area
-            if best >= 0:
-                ref, _ = kids.pop(best)
-                for k in range(4):
-                    if refs4[ref, k] != -1:
-                        kids.append((refs4[ref, k], slabs4[ref, k]))
-                changed = True
-        for i, (ref, sl) in enumerate(kids):
-            out_refs[n, i] = ref
-            out_slabs[n, i] = sl
-    return out_slabs, out_refs
+
+    # left-pack each 4-ary row's children once (the greedy iterates kids in
+    # slot order skipping holes)
+    order = np.argsort(refs4 == -1, axis=1, kind="stable")
+    p4_refs = np.take_along_axis(refs4, order, axis=1)
+    p4_slabs = np.take_along_axis(slabs4, order[..., None], axis=1)
+    nkids4 = (refs4 != -1).sum(axis=1).astype(np.int32)
+
+    refs = np.full((N, NODE_WIDTH), -1, np.int32)
+    slabs = np.zeros((N, NODE_WIDTH, 6), np.float32)
+    refs[:, :4] = p4_refs
+    slabs[:, :4] = p4_slabs
+    cnt = nkids4.copy()
+
+    j_idx = np.arange(NODE_WIDTH)[None, :]
+    while True:
+        internal = refs >= 0
+        sub = nkids4[np.maximum(refs, 0)]
+        feasible = (internal & (cnt[:, None] - 1 + sub <= NODE_WIDTH)
+                    & (cnt[:, None] < NODE_WIDTH))
+        ext = np.maximum(slabs[..., 3:6] - slabs[..., 0:3], np.float32(0.0))
+        area = (ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2]
+                + ext[..., 0] * ext[..., 2])
+        key = np.where(feasible, area, np.float32(-np.inf))
+        b = np.argmax(key, axis=1)  # first max, like the sequential loop
+        change = feasible[np.arange(N), b]
+        if not change.any():
+            break
+        ref_exp = refs[np.arange(N), b]
+        safe = np.maximum(ref_exp, 0)
+        k = np.where(change, nkids4[safe], 0)
+        # new row j: old j (j<b) | old j+1 (j<cnt-1) | child j-(cnt-1) | empty
+        cm1 = (cnt - 1)[:, None]
+        sel = np.where(
+            j_idx < b[:, None], j_idx,
+            np.where(j_idx < cm1, j_idx + 1,
+                     np.where(j_idx < cm1 + k[:, None],
+                              NODE_WIDTH + j_idx - cm1, NODE_WIDTH + 4)))
+        cand_refs = np.concatenate(
+            [refs, p4_refs[safe], np.full((N, 1), -1, np.int32)], axis=1)
+        cand_slabs = np.concatenate(
+            [slabs, p4_slabs[safe], np.zeros((N, 1, 6), np.float32)], axis=1)
+        new_refs = np.take_along_axis(cand_refs, sel, axis=1)
+        new_slabs = np.take_along_axis(cand_slabs, sel[..., None], axis=1)
+        refs = np.where(change[:, None], new_refs, refs)
+        slabs = np.where(change[:, None, None], new_slabs, slabs)
+        cnt = np.where(change, cnt - 1 + k, cnt)
+    return slabs, refs
+
+
+def _stack_bounds(refs8, root):
+    """Worst-case traversal stack requirements of the packed tree.
+
+    Internal stack: popping node n pushes its internal-child count c(n);
+    along any DFS path the size right after expanding n is bounded by
+    g(n) = c(n) + sum over ancestors a of (c(a) - 1). Computed level-
+    synchronously (vectorized per BFS level). Leaf stack: leaf-priority
+    drains a node's pushed leaves before the next internal pop, so its
+    depth is bounded by max leaf-children per node."""
+    if root < 0:
+        return 1, 1
+    c = (refs8 >= 0).sum(axis=1).astype(np.int64)
+    l = (refs8 <= -2).sum(axis=1).astype(np.int64)
+    frontier = np.asarray([root])
+    g = np.asarray([max(int(c[root]), 1)])
+    imax = int(g.max())
+    while frontier.size:
+        kids = refs8[frontier]                      # (F, 8)
+        is_int = kids >= 0
+        parent_g = np.broadcast_to(g[:, None], kids.shape)
+        nxt = kids[is_int]
+        gn = parent_g[is_int] - 1 + c[nxt]
+        if nxt.size == 0:
+            break
+        frontier, g = nxt, np.maximum(gn, 1)
+        imax = max(imax, int(g.max()))
+    return imax, max(int(l.max(initial=1)), 1)
 
 
 def from_bvh_arrays(bvh) -> PallasBvh:
@@ -132,6 +185,13 @@ def from_bvh_arrays(bvh) -> PallasBvh:
     leaf_rec[:, ls * 9:] = ids.astype(np.float32)
     N, L = node_rec.shape[0], leaf_rec.shape[0]
     slabs8, refs8 = _collapse8(node_rec)
+    # 8-wide nodes can push up to 8 internal children per pop; a silent
+    # SMEM stack overflow would corrupt traversal (ADVICE r4). The packed
+    # tree's worst-case requirement is checked at pack time.
+    ibound, lbound = _stack_bounds(refs8, int(bvh.root))
+    assert ibound <= ISTACK_DEPTH and lbound <= LSTACK_DEPTH, (
+        f"BVH traversal stack bound ({ibound} internal / {lbound} leaf) "
+        f"exceeds the kernel's SMEM stacks ({ISTACK_DEPTH}/{LSTACK_DEPTH})")
     nodes = np.zeros((N, LANES), np.float32)
     nodes[:, :48] = slabs8.reshape(N, 48)
     nodes[:, 48:56] = refs8.astype(np.float32)

@@ -103,11 +103,21 @@ def _mat_onehot(ds, mat_id):
         jnp.float32)
 
 
+def _oh_dot(oh, table):
+    """One-hot contraction at HIGHEST precision: TPU matmuls default to
+    bfloat16 operand truncation (8 mantissa bits), which would silently
+    quantize material scalars and corrupt the integer-valued texture
+    metadata (offset halves up to 65535, widths/heights) on scenes whose
+    values are not bf16-representable. HIGHEST forces the 3-pass f32
+    decomposition — exact for these magnitudes and negligible at M<=64."""
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+
+
 def _slot_meta(ds, oh, slot: str):
     """Per-ray texture metadata for a material slot via the one-hot matmul:
     returns (off, w, h, linear) with off < 0 marking unbound."""
     s = _SLOT_IDX[slot]
-    m = oh @ ds.mat_tex_meta[:, s * 5:(s + 1) * 5]
+    m = _oh_dot(oh, ds.mat_tex_meta[:, s * 5:(s + 1) * 5])
     off = (jnp.round(m[..., 0]).astype(jnp.int32) * 65536
            + jnp.round(m[..., 1]).astype(jnp.int32))
     w = jnp.round(m[..., 2]).astype(jnp.int32)
@@ -203,7 +213,8 @@ def eval_shading_normal(ds, tri, uv, outgoing, tex_slots=ALL_TEX_SLOTS):
         normal = jnp.where(has_nm[..., None], mapped, normal)
 
     if use_oh:
-        is_refr = (oh @ (ds.mat_type == REFRACTIVE).astype(jnp.float32)) > 0.5
+        is_refr = _oh_dot(
+            oh, (ds.mat_type == REFRACTIVE).astype(jnp.float32)) > 0.5
     else:
         is_refr = ds.mat_type[mat_id] == REFRACTIVE
     forward = jnp.where((dot(normal, outgoing) >= 0.0)[..., None], normal, -normal)
@@ -231,7 +242,7 @@ def _material_from(ds, mat_id, texcoord, color_shp,
         # field (forward: MXU microseconds instead of ~15 row gathers;
         # backward: transposed matmul instead of 54k-row scatter-adds)
         oh = _mat_onehot(ds, mat_id)
-        g1 = lambda a: oh @ a.astype(jnp.float32)
+        g1 = lambda a: _oh_dot(oh, a.astype(jnp.float32))
         mtype = jnp.round(g1(ds.mat_type)).astype(jnp.int32)
 
         def tex(slot, as_linear):

@@ -272,10 +272,16 @@ class Renderer:
             self._pool_steps = {}
 
         def get_step(b):
-            # the compiled program depends on the batch size and on whether
-            # this is a single-sample render (center-of-pixel jitter);
+            # the compiled program depends on the batch size, on whether
+            # this is a single-sample render (center-of-pixel jitter), and
+            # on the shader config (params may be mutated in place between
+            # render() calls, e.g. by the interactive viewer — ADVICE r4);
             # NOT on the total spp — cache across render() calls
-            key = (b, n == 1, iters_per_step)
+            cfg_key = tuple(sorted(
+                (k, repr(sorted(v) if isinstance(v, frozenset) else v))
+                for k, v in pool_cfg.items()))
+            key = (b, n == 1, iters_per_step, self.params.camera,
+                   self.width, self.height, cfg_key)
             if key not in self._pool_steps:
                 raw = PL.make_pool_step(
                     self.lights, self.n_envs, camera=self.params.camera,
