@@ -55,9 +55,9 @@ def bench_implicit():
     p = RenderParams(shader="implicit", samples=16, resolution=360,
                      bounces=4, spheretrace_maxiter=450)
     r = Renderer("/root/reference/tests/06_gridsdf/gridsdf.json", p)
-    r.render(samples=2, chunk=2)  # compile + warm
+    r.render(samples=8, chunk=8)  # compile + warm (sample-batched step)
     t0 = time.time()
-    r.render(samples=8, chunk=2)
+    r.render(samples=8, chunk=8)
     dt = time.time() - t0
     return 8 * r.width * r.height / dt
 

@@ -35,23 +35,52 @@ def test_checkpoint_resume_bit_identical(tmp_path, renderer):
 def test_sharded_render_matches_single_device():
     """Pixels sharded over the 8-device CPU mesh must reproduce the
     single-device image (counter-based per-pixel RNG; the pixel count 540
-    is deliberately not divisible by 8 to exercise padding). The MATH is
-    identical per pixel, but XLA compiles the sharded and unsharded
-    programs separately and may place FMA contractions differently, so the
-    comparison allows last-ulp differences (measured max 6e-7 relative)
-    rather than bitwise equality."""
+    is deliberately not divisible by 8 to exercise padding). Forces the
+    per-sample SCAN path on both sides (explicit starting state) so the
+    comparison pins pure sharding effects: the MATH is identical per
+    pixel, but XLA compiles the sharded and unsharded programs separately
+    and may place FMA contractions differently, so the comparison allows
+    last-ulp differences (measured max 6e-7 relative) rather than bitwise
+    equality."""
     import jax
+
+    from vpt_tpu.render import state as RS
 
     n = len(jax.devices())
     assert n >= 2  # conftest forces an 8-device CPU mesh
     params = RenderParams(shader="volpathtrace", samples=2, resolution=36,
                           bounces=3)
     scene = make_test_scene(sphere_steps=6)
-    img1, _ = Renderer(scene, params, devices=1).render(samples=2, chunk=2)
+    r1 = Renderer(scene, params, devices=1)
+    img1, _ = r1.render(samples=2, chunk=2,
+                        state=RS.make_state(r1.width, r1.height))
     rN = Renderer(scene, params, devices=n)
     assert rN.n_devices == n
-    imgN, _ = rN.render(samples=2, chunk=2)
+    imgN, _ = rN.render(samples=2, chunk=2,
+                        state=RS.make_state(rN.width, rN.height))
     np.testing.assert_allclose(img1, imgN, rtol=3e-6, atol=1e-7)
+
+
+def test_sharded_pool_matches_single_device_pool():
+    """The sharded pool (per-device work queues over a pixel partition,
+    render/pool.py make_sharded_pool_step) must reproduce the single-device
+    pool image: identical per-(pixel, sample) RNG streams, differing only
+    by per-pixel float accumulation order (samples flush in completion
+    order, which depends on the queue layout) — same tolerance as the
+    pool-vs-scan pin. Default multi-device render() routes here (round 5:
+    previously multi-device renders fell back to the scan renderer)."""
+    import jax
+
+    n = len(jax.devices())
+    assert n >= 2
+    params = RenderParams(shader="volpathtrace", samples=4, resolution=36,
+                          bounces=8)
+    scene = make_test_scene(sphere_steps=6, with_volume=True)
+    img1, _ = Renderer(scene, params, devices=1).render(samples=4)
+    rN = Renderer(scene, params, devices=n)
+    imgN, stN = rN.render(samples=4)
+    assert int(stN.samples) == 4
+    np.testing.assert_allclose(img1, imgN, rtol=2e-5, atol=1e-6)
 
 
 def test_checkpoint_config_mismatch_raises(tmp_path, renderer):

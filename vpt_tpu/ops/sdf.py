@@ -310,6 +310,22 @@ def _grid_cell_rows(grid_values, grid_whd):
     return jnp.stack(rows, axis=-1)
 
 
+def attach_cell_rows(ds):
+    """Attach the differentiable (N_cells, 8) corner-row table to the scene
+    (ds.grid_cell_rows) ONCE per program. eval_sdf_scene otherwise rebuilds
+    the table at every call site — XLA does not reliably hoist the build
+    out of while-loop bodies, and at 96^3 grids the rebuild is several ms
+    per sphere-trace iteration. Shaders call this at entry; gradients flow
+    to ds.grid_values through the attached table."""
+    n_vi = ds.vi_frame.shape[0]
+    if (n_vi == 0 or ds.grid_values.size > _CELL_ROW_LIMIT
+            or getattr(ds, "grid_cell_rows", None) is not None
+            or not hasattr(ds, "_replace")):
+        return ds
+    return ds._replace(
+        grid_cell_rows=_grid_cell_rows(ds.grid_values, ds.grid_whd))
+
+
 def eval_sdf_scene(ds, p, t):
     """Min over all vol_instances and analytic sdfs (yocto_sdfs.cpp:7-26).
     Returns (dist, kind, idx): kind 0 = grid instance, 1 = analytic.
@@ -317,7 +333,15 @@ def eval_sdf_scene(ds, p, t):
     All grid instances' trilinear taps are batched into ONE flat gather per
     call (a 54k-row gather costs ~1 ms regardless of row width, so the
     round-3 per-instance gathers made each sphere-trace iteration pay
-    ~VI ms — the dominant cost of the implicit shaders at maxiter 450)."""
+    ~VI ms — the dominant cost of the implicit shaders at maxiter 450).
+
+    K-tap selection (round 5): flatten proves no point can be "inside"
+    (bbox_dist < flt_eps*t) more than K instances at once (margin-inflated
+    AABB overlap bound, ds.vi_tap_cap); only the K containing instances'
+    cell rows are gathered — gather cost is per INDEX, so this cuts the
+    dominant march cost by VI/K (4x on 06_gridsdf, where K=1). Instances
+    not containing p contribute their analytic bbox distance, exactly as
+    the dense path."""
     best = jnp.full(p.shape[:-1], FLT_MAX, p.dtype)
     kind = jnp.full(p.shape[:-1], -1, jnp.int32)
     idx = jnp.full(p.shape[:-1], -1, jnp.int32)
@@ -331,10 +355,30 @@ def eval_sdf_scene(ds, p, t):
                 ds.grid_values.shape, ds.vi_volume[i],
                 ds.grid_whd[ds.vi_volume[i]],
                 ds.grid_res[ds.vi_volume[i]], ds.vi_scalef[i], p_local, t))
+        tap_cap = getattr(ds, "vi_tap_cap", None)
+        K = tap_cap.shape[0] if tap_cap is not None else n_vi
         if use_rows:
-            cells = _grid_cell_rows(ds.grid_values, ds.grid_whd)
-            all_idx = jnp.stack([pt[0] for pt in parts], axis=-1)
-            c = jnp.take(cells, all_idx, axis=0)  # (..., VI, 8)
+            cells = getattr(ds, "grid_cell_rows", None)
+            if cells is None:
+                cells = _grid_cell_rows(ds.grid_values, ds.grid_whd)
+            if K < n_vi:
+                insides = jnp.stack([pt[3] for pt in parts], axis=-1)
+                idxs = jnp.stack([pt[0] for pt in parts], axis=-1)
+                wgts = jnp.stack([pt[1] for pt in parts], axis=-2)
+                rank = jnp.cumsum(insides.astype(jnp.int32), axis=-1) - 1
+                field_acc = jnp.zeros(p.shape[:-1] + (n_vi,), p.dtype)
+                for m in range(K):
+                    oh = insides & (rank == m)          # <=1 true per point
+                    sel = jnp.sum(jnp.where(oh, idxs, 0), axis=-1)
+                    c_m = jnp.take(cells, sel, axis=0)  # (..., 8) ONE gather
+                    w_m = jnp.sum(
+                        jnp.where(oh[..., None], wgts, 0.0), axis=-2)
+                    f_m = jnp.sum(c_m * w_m, axis=-1)
+                    field_acc = field_acc + jnp.where(oh, f_m[..., None], 0.0)
+                c = None
+            else:
+                all_idx = jnp.stack([pt[0] for pt in parts], axis=-1)
+                c = jnp.take(cells, all_idx, axis=0)  # (..., VI, 8)
         else:  # huge grids: per-corner element gathers, no 8x duplication
             D, H, W = ds.grid_values.shape[1:]
             flat = ds.grid_values.reshape(-1)
@@ -347,8 +391,12 @@ def eval_sdf_scene(ds, p, t):
             all_idx = jnp.stack([pt[0] for pt in parts], axis=-1)
             c = jnp.take(flat, jnp.minimum(
                 all_idx[..., None] + shifts, flat.shape[0] - 1), axis=0)
+            K = n_vi
         for i, (_, wgt, bbox_dist, inside) in enumerate(parts):
-            field = jnp.sum(c[..., i, :] * wgt, axis=-1) * ds.vi_scalef[i]
+            if c is None:
+                field = field_acc[..., i] * ds.vi_scalef[i]
+            else:
+                field = jnp.sum(c[..., i, :] * wgt, axis=-1) * ds.vi_scalef[i]
             d = jnp.where(inside, field, bbox_dist)
             take = d < best
             best = jnp.where(take, d, best)
@@ -369,6 +417,40 @@ def _sdf_single(ds, sdf_id: int, p):
     """Distance of one analytic sdf (static id) — used by light pdfs."""
     p_local = transform_point(ds.sdf_frame[sdf_id], p)
     return eval_analytic(ds.sdf_type[sdf_id], ds.sdf_params[sdf_id], p_local)
+
+
+def _aabb_ahead(ds, o, d, t, cap, sdf_id=None):
+    """True iff any SDF-support AABB intersects the remaining ray [t, cap].
+
+    When False the march provably escapes: outside every margin-inflated
+    AABB the scene SDF is a positive analytic distance that can never
+    satisfy |d| < flt_eps*t (margin derivation: flatten.py round-5 block),
+    so hit=false with certainty — lanes are retired immediately instead of
+    doubling t to the escape cap (~30 wasted iterations per sky ray).
+    Returns None when the flatten metadata is unavailable (hand-built
+    scenes): callers skip the short-circuit."""
+    vi = getattr(ds, "vi_aabb", None)
+    sd_ = getattr(ds, "sdf_aabb", None)
+    if vi is None or sd_ is None:
+        return None
+    if sdf_id is not None:
+        boxes = sd_[sdf_id][None] if sd_.shape[0] else sd_
+    else:
+        boxes = jnp.concatenate([vi, sd_], axis=0) if (
+            vi.shape[0] and sd_.shape[0]) else (vi if vi.shape[0] else sd_)
+    n = boxes.shape[0]
+    if n == 0:
+        return jnp.zeros(o.shape[:-1], bool)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d >= 0, 1e-12, -1e-12), d)
+    ahead = jnp.zeros(o.shape[:-1], bool)
+    for b in range(n):
+        t0 = (boxes[b, :3] - o) * inv
+        t1 = (boxes[b, 3:] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        ahead = ahead | ((tf >= jnp.maximum(tn, t)) & (tn <= cap))
+    return ahead
 
 
 _QUEUE_LANES = 8192
@@ -403,6 +485,10 @@ def _spheretrace_queued(ds, ray_o, ray_d, maxiter, tmax, act0, tmin):
         l_it = l_it + 1
         done = l_act & (is_hit | (t_new >= l_rayrec[:, 6])
                         | (t_new >= t_escape) | (l_it >= maxiter))
+        ahead = _aabb_ahead(ds, l_rayrec[:, 0:3], l_rayrec[:, 3:6],
+                            t_new, l_rayrec[:, 6])
+        if ahead is not None:  # provable escape: retire the lane now
+            done = done | (l_act & ~is_hit & ~ahead)
         l_act2 = l_act & ~done
         # write finished lanes (masked scatter; idle lanes write row R);
         # meta packs [hit, kind, idx] as hit*2^20 + (kind+1)*2^18 + (idx+1)
@@ -499,6 +585,10 @@ def spheretrace(ds, ray_o, ray_d, maxiter: int, tmax=None, alive=None,
             idx = jnp.where(is_hit, ix, idx)
         t_new = jnp.where(active & ~is_hit, jnp.minimum(t + d, t_escape), t)
         active = active & ~is_hit & (t_new < tmax) & (t_new < t_escape)
+        ahead = _aabb_ahead(ds, ray_o, ray_d, t_new,
+                            jnp.minimum(tmax, t_escape), sdf_id=sdf_id)
+        if ahead is not None:  # provable escape (same rule as the queue)
+            active = active & ahead
         return i + 1, t_new, active, hit, kind, idx
 
     def cond(state):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.vecmath import dot, vmax
 from ..ops import bsdf as B
-from ..ops.sdf import eval_sdf_normal, reattach_t, spheretrace
+from ..ops.sdf import attach_cell_rows, eval_sdf_normal, reattach_t, spheretrace
 from . import sceneval as SE
 from .integrator import _u, _u2
 from .lights import sample_lights, sample_lights_pdf
@@ -56,6 +56,7 @@ def make_implicit_shader(lights, n_envs: int, *, params, normal_only=False):
     seed = params.seed
 
     def shade_normal(ds, ray_o, ray_d, pixel_id, sample_id):
+        ds = attach_cell_rows(ds)  # hoist the corner-row table (PERF.md r5)
         hit, t, kind, idx = spheretrace(ds, ray_o, ray_d, maxiter)
         pos = ray_o + ray_d * t[..., None]
         n = eval_sdf_normal(ds, pos, t)
@@ -67,6 +68,7 @@ def make_implicit_shader(lights, n_envs: int, *, params, normal_only=False):
 
     def shade(ds, ray_o, ray_d, pixel_id, sample_id):
         R = ray_o.shape[0]
+        ds = attach_cell_rows(ds)  # hoist the corner-row table (PERF.md r5)
 
         def sdf_light_fn(position, direction, sdf_id):
             hit, t, _, _ = spheretrace(

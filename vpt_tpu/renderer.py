@@ -204,6 +204,33 @@ class Renderer:
                 rgba = sharded(ds, ids, state.samples)[:P]
                 return RS.RenderState(
                     accum=state.accum + rgba, samples=state.samples + 1)
+        elif p.shader in ("implicit", "implicit_normal") and chunk > 1:
+            # sample-batched implicit step: all `chunk` samples' rays in ONE
+            # shade call. The sphere tracers' work-queue runs at a fixed
+            # per-iteration cost, so a single 54k-ray sample leaves the
+            # queue starved — S x R rays amortize every per-op fixed cost
+            # and every gather S-fold (PERF.md r5: the per-sample scan left
+            # the implicit shader at ~26k paths/s; batching is the largest
+            # single lever). Identical per-(pixel,sample) RNG streams; the
+            # S radiances sum before the accumulate (float-add reordering
+            # only, same story as the pool renderer).
+            S = chunk
+            P = self.width * self.height
+
+            def batched(ds, state):
+                pix = jnp.tile(jnp.arange(P, dtype=jnp.uint32), S)
+                samp = state.samples + jnp.repeat(
+                    jnp.arange(S, dtype=jnp.int32), P)
+                o, d = RS.camera_rays(ds, p.camera, self.width, self.height,
+                                      pix, samp, p.samples, p.seed)
+                radiance, alpha = shade(ds, o, d, pix, samp)
+                rgba = jnp.concatenate(
+                    [radiance, alpha[..., None]], axis=-1)
+                rgba = jnp.sum(rgba.reshape(S, P, 4), axis=0)
+                return RS.RenderState(accum=state.accum + rgba,
+                                      samples=state.samples + S)
+
+            return jax.jit(batched, donate_argnums=(1,))
         else:
             def one(ds, state):
                 shade_bound = lambda o, d, pix, samp: shade(ds, o, d, pix, samp)
@@ -255,6 +282,73 @@ class Renderer:
             seed=p.seed, mat_types=mat_types, tex_slots=tex_slots,
             opacity_extra=opacity_extra, can_opacity=has_opacity,
             env_meta=self._env_meta())
+
+    def _render_pool_sharded(self, n: int, progress, pool_cfg,
+                             iters_per_step=32):
+        """Sharded pool render: per-device work queues over a pixel-major
+        partition (render/pool.py make_sharded_pool_step). Keeps pool-class
+        throughput on multi-device renders (VERDICT r4: sharded renders
+        previously fell back to the per-sample scan)."""
+        from .render import pool as PL
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(self.n_devices)
+        n_dev = self.n_devices
+        P = self.width * self.height
+        P_loc = -(-P // n_dev)
+        R_loc = min(P_loc, (1 << 20) // n_dev)
+        batch = max(1, min(256, n, (2 ** 31 - 1) // (P_loc * n_dev)))
+        if not hasattr(self, "_pool_steps"):
+            self._pool_steps = {}
+
+        def get_step(b):
+            cfg_key = tuple(sorted(
+                (k, repr(sorted(v) if isinstance(v, frozenset) else v))
+                for k, v in pool_cfg.items()))
+            key = ("sharded", n_dev, b, n == 1, iters_per_step,
+                   self.params.camera, self.width, self.height, cfg_key)
+            if key not in self._pool_steps:
+                self._pool_steps[key] = PL.make_sharded_pool_step(
+                    mesh, n_lanes_per_shard=R_loc, pixels_per_shard=P_loc,
+                    lights=self.lights, n_envs=self.n_envs,
+                    camera=self.params.camera,
+                    width=self.width, height=self.height, batch_samples=b,
+                    total_samples=1 if n == 1 else 2,
+                    iters_per_step=iters_per_step, n_lanes=R_loc,
+                    **pool_cfg)
+            return self._pool_steps[key]
+
+        t0 = time.time()
+        first = True
+        self.compile_seconds = 0.0
+        pst = None
+        for s0 in range(0, n, batch):
+            b = min(batch, n - s0)
+            step, init = get_step(b)
+            if pst is None:
+                pst = init()
+            else:
+                pst = pst._replace(
+                    next_w=jnp.zeros(n_dev, jnp.int32),
+                    busy=jnp.ones(n_dev, jnp.int32))
+            while True:
+                pst, any_busy = step(self.ds, pst, jnp.int32(s0))
+                busy = int(jax.device_get(any_busy))
+                if first:
+                    self.compile_seconds = time.time() - t0
+                    first = False
+                    if progress is not None and self.compile_seconds > 1.0:
+                        progress(-1, n)
+                if progress is not None:
+                    frac = float(np.sum(jax.device_get(pst.next_w))) / (
+                        P_loc * n_dev * b)
+                    progress(min(int(s0 + b * frac), n), n)
+                if not busy:
+                    break
+        accum = np.asarray(jax.jit(lambda a: a + 0.0)(pst.accum))[:P]
+        img = (accum / n).reshape(self.height, self.width, 4)
+        state = RS.RenderState(accum=jnp.asarray(accum), samples=jnp.int32(n))
+        return img, state
 
     def _render_pool(self, n: int, progress, pool_cfg, iters_per_step=32):
         """Pool render loop (render/pool.py): sample batches of the global
@@ -340,13 +434,15 @@ class Renderer:
         # path configs route to the pool renderer (same estimator,
         # ~E[path length]/bounces of the work); the scan path keeps serving
         # checkpointed / resumed renders (the pool's carried in-flight path
-        # state is not a serializable checkpoint) and multi-device sharding
-        # (the pool's global work queue + image scatter are single-device;
-        # sharded renders use the per-sample scan)
-        if state is None and checkpoint is None and self.n_devices == 1:
+        # state is not a serializable checkpoint). Multi-device renders use
+        # the sharded pool: per-device work queues over a pixel partition
+        # (round 5; previously they fell back to the per-sample scan)
+        if state is None and checkpoint is None:
             pool_cfg = self._pool_config()
             if pool_cfg is not None:
-                return self._render_pool(n, progress, pool_cfg)
+                if self.n_devices == 1:
+                    return self._render_pool(n, progress, pool_cfg)
+                return self._render_pool_sharded(n, progress, pool_cfg)
         if state is None and checkpoint is not None and os.path.exists(checkpoint):
             state = CK.load_checkpoint(checkpoint, p, self.width, self.height)
         if state is None:

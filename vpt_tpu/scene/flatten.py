@@ -160,6 +160,21 @@ class SceneArrays(NamedTuple):
     light_pdf_prob: np.ndarray | None = None    # (sum,) f32
     # scene bounds for traversal ray-sort keys
     scene_bb: np.ndarray | None = None          # (2, 3) f32
+    # ---- round-5 SDF acceleration metadata ----
+    # margin-inflated world AABBs of every grid instance's bbox and every
+    # analytic sdf's support (unbounded types use +-1e30): used for the
+    # sphere tracers' exact escape short-circuit (a ray with no AABB ahead
+    # provably escapes) and, for vi, the K-tap selection (ops/sdf.py)
+    vi_aabb: np.ndarray | None = None           # (VI, 6) [lo|hi]
+    sdf_aabb: np.ndarray | None = None          # (S, 6) [lo|hi]
+    # static overlap bound marker: no point can satisfy the grid-tap
+    # "inside" criterion for more than K = vi_tap_cap.shape[0] instances
+    # simultaneously (conservative AABB-intersection count at flatten
+    # time), so eval_sdf_scene gathers K cell rows instead of VI
+    vi_tap_cap: np.ndarray | None = None        # (K,) i32 zeros
+    # differentiable (N_cells, 8) corner-row table — attached in-program
+    # by ops.sdf.attach_cell_rows (never stored at flatten time)
+    grid_cell_rows: np.ndarray | None = None
 
 
 def _quads_to_tris_idx(quads):
@@ -509,6 +524,82 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         tri_pos.reshape(-1, 3).min(axis=0),
         tri_pos.reshape(-1, 3).max(axis=0)]).astype(f32)
 
+    # ---------------- round-5 SDF acceleration metadata ----------------
+    # World AABBs of SDF supports + the static tap-overlap bound K.
+    # Margin rigor: the grid-tap criterion is bbox_dist < flt_eps * t, and
+    # while p stays within the scene region (|o|, |hit points| <= B) a
+    # live march has t < ~2B before bbox_dist ~ t >> flt_eps*t, so the
+    # "inside" shell never exceeds ~2*flt_eps*B; AABBs are inflated by
+    # 8*flt_eps*B (>= 4x that) plus an absolute floor.
+    vi_aabb = np.zeros((0, 6), f32)
+    sdf_aabb = np.zeros((0, 6), f32)
+    vi_tap_cap = None
+    if VI or S:
+        def _inv_frame(fr):
+            rot = np.asarray(fr, np.float64)[:3, :]
+            o = np.asarray(fr, np.float64)[3, :]
+            rt = rot.T
+            return rt, -o @ rt
+
+        def _world_box(fr_w2l, lo, hi):
+            rt, ot = _inv_frame(fr_w2l)
+            cs = np.array([[x, y, z] for x in (lo[0], hi[0])
+                           for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+            wc = cs @ rt + ot
+            return np.concatenate([wc.min(0), wc.max(0)])
+
+        boxes_vi = []
+        for vii, v in enumerate(scene.vol_instances):
+            g = v.volume
+            bs = (grid_res[g] * grid_whd[g].astype(np.float64)
+                  * float(v.scalef))
+            boxes_vi.append(_world_box(vi_frame[vii], np.zeros(3), bs))
+        # analytic sdf supports (types: ops/sdf.py order; unbounded -> 1e30)
+        BIG = 1e30
+        boxes_sdf = []
+        for s in scene.sdfs:
+            p4 = np.asarray(s.params, np.float64)
+            if s.type == 3:      # SD_PLANE: the whole y=0 plane
+                lo, hi = [-BIG, 0.0, -BIG], [BIG, 0.0, BIG]
+            elif s.type == 4:    # SD_SPHERE r
+                lo, hi = [-p4[0]] * 3, [p4[0]] * 3
+            elif s.type == 1:    # SD_BOX spans [0, whd]
+                lo, hi = [0.0] * 3, p4[:3]
+            elif s.type == 0:    # SD_BBOX b, e
+                b = p4[:3] + p4[3]
+                lo, hi = -b, b
+            elif s.type == 5:    # SD_TORUS r1, r2
+                r = p4[0] + p4[1]
+                lo, hi = [-r, -p4[1], -r], [r, p4[1], r]
+            else:                # SD_CAPPED_CONE h, r1, r2
+                r = max(p4[1], p4[2])
+                lo, hi = [-r, -p4[0], -r], [r, p4[0], r]
+            boxes_sdf.append(_world_box(
+                sdf_frame[len(boxes_sdf)], np.asarray(lo, np.float64),
+                np.asarray(hi, np.float64)))
+        allb = np.asarray(boxes_vi + boxes_sdf, np.float64)
+        finite = np.abs(allb) < BIG * 0.5
+        cam_positions = np.stack(
+            [np.asarray(c.frame)[3, :] for c in scene.cameras]
+        ) if scene.cameras else np.zeros((1, 3))
+        B = max(float(np.abs(np.where(finite, allb, 0.0)).max(initial=1.0)),
+                float(np.abs(cam_positions).max(initial=1.0)),
+                float(np.abs(scene_bb).max(initial=0.0)))
+        margin = max(1e-5, 8.0 * 1.1920929e-07 * B)
+        if boxes_vi:
+            bv = np.asarray(boxes_vi, np.float64)
+            bv[:, :3] -= margin
+            bv[:, 3:] += margin
+            vi_aabb = np.clip(bv, -BIG, BIG).astype(f32)
+            inter = ((bv[:, None, :3] <= bv[None, :, 3:])
+                     & (bv[:, None, 3:] >= bv[None, :, :3])).all(-1)
+            vi_tap_cap = np.zeros(int(inter.sum(1).max(initial=1)), i32)
+        if boxes_sdf:
+            bs_ = np.asarray(boxes_sdf, np.float64)
+            bs_[:, :3] -= margin
+            bs_[:, 3:] += margin
+            sdf_aabb = np.clip(bs_, -BIG, BIG).astype(f32)
+
     return SceneArrays(
         tri_pos=tri_pos.astype(f32),
         tri_vidx=tri_vidx_p.astype(i32),
@@ -612,4 +703,7 @@ def flatten_scene(scene: HostScene) -> SceneArrays:
         light_alias_pack=light_alias_pack,
         light_pdf_prob=light_pdf_prob,
         scene_bb=scene_bb,
+        vi_aabb=vi_aabb,
+        sdf_aabb=sdf_aabb,
+        vi_tap_cap=vi_tap_cap,
     )
