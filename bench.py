@@ -81,6 +81,42 @@ def bench_published_config():
     return 64 * r.width * r.height / dt
 
 
+def bench_implicit_fwdbwd():
+    """Differentiable implicit path (BASELINE north star: gradients w.r.t.
+    SDF grid values): render 06_gridsdf through make_implicit_shader, L2
+    loss, backward to all diff params INCLUDING grid_values (IFT
+    reattach_t geometry gradients). VERDICT r4 ask #4 — correctness was
+    tested (test_grad_sdf_grid_*) but never benched."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.parallel.mesh import extract_params, make_grad_step, make_mesh
+    from vpt_tpu.renderer import Renderer, RenderParams
+
+    S = 2
+    p = RenderParams(shader="implicit", samples=16, resolution=360,
+                     bounces=4, spheretrace_maxiter=450)
+    r = Renderer("/root/reference/tests/06_gridsdf/gridsdf.json", p)
+    mesh = make_mesh()
+    shade = r._make_shader()
+    step = make_grad_step(mesh, shade, r.width, r.height,
+                          total_samples=p.samples, samples_per_step=S)
+    params = extract_params(r.ds)
+    target = jnp.zeros((r.width * r.height, 3), jnp.float32)
+    jstep = jax.jit(step)
+    loss, _ = jstep(r.ds, params, target, jnp.int32(0))
+    float(np.asarray(loss))
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        loss, _ = jstep(r.ds, params, target, jnp.int32(i + 1))
+    float(np.asarray(loss))
+    dt = time.time() - t0
+    return iters * S * r.width * r.height / dt
+
+
 SAMPLES_PER_STEP = 8  # grad-step sample mini-batch (HBM-bound at ~16)
 
 
@@ -139,8 +175,10 @@ def main():
     fwdbwd, flops_per_sec = bench_fwd_bwd(r)
     pub = bench_published_config()
     implicit = bench_implicit()
+    implicit_grad = bench_implicit_fwdbwd()
     extra = {
         "implicit_06_360px_maxiter450_paths_per_sec": round(implicit, 1),
+        "implicit_fwdbwd_grid_grads_paths_per_sec": round(implicit_grad, 1),
         # compiled reference, same host/scene/config (--shader implicit,
         # 8spp 360px, synthesized .sdf grids): 4.7s wall ~ 96k paths/s on
         # 2 CPU cores. Honest gap: sphere tracing is dependent-eval

@@ -70,14 +70,16 @@ def test_golden_lowres(scene, json_name, shader, bounces, spp, thresh):
 
 
 @pytest.mark.parametrize("scene,json_name,golden,thresh", [
-    ("06_gridsdf", "gridsdf.json", "ref06_implicit_180_8spp.png", 0.026),
+    # maxiter 450 = the reference default (yocto_pathtrace.h:98); round-5
+    # thresholds ~1.3x the measured MAEs (0.0193 / 0.0206)
+    ("06_gridsdf", "gridsdf.json", "ref06_implicit_180_8spp.png", 0.025),
     ("07_sdfunction", "sdfunction.json", "ref07_implicit_180_8spp.png", 0.027),
 ])
 def test_golden_implicit(scene, json_name, golden, thresh):
     from vpt_tpu.scene.image_io import load_png
 
     srgb = _render(os.path.join(REF, scene, json_name), "implicit", 8, 180,
-                   4, maxiter=200)
+                   4, maxiter=450)
     ref = load_png(os.path.join(GOLDENS, golden))[..., :3]
     mae = _mae_vs_golden(srgb, ref)
     assert mae < thresh, f"{scene}: down4 MAE {mae:.4f} >= {thresh}"

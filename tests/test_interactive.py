@@ -195,5 +195,20 @@ def test_web_viewer_serves_frames_and_commands():
         head = stream.read(200)
         assert b"--vptframe" in head and b"image/png" in head
         stream.close()
+        # widget panel (reference imgui params window parity): the page
+        # carries form controls for every RenderParams knob and /status
+        # reports the values that populate them
+        assert (b'id="p_shader"' in page and b'id="p_samples"' in page
+                and b'id="p_exposure"' in page and b'id="p_filmic"' in page
+                and b'id="p_camera"' in page)
+        assert st4["samples_target"] == 4 and st4["pratio"] == 4
+        assert st4["n_cameras"] >= 1 and "exposure" in st4
+        # a panel-shaped edit lands like any command
+        req = urllib.request.Request(base + "/cmd", data=b"samples 6",
+                                     method="POST")
+        assert urllib.request.urlopen(req, timeout=120).status == 200
+        st5 = json.loads(urllib.request.urlopen(
+            base + "/status", timeout=10).read())
+        assert st5["samples_target"] == 6
     finally:
         server.stop()

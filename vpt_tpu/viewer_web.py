@@ -27,23 +27,92 @@ body { background:#111; color:#ccc; font:13px monospace; margin:12px; }
 img { image-rendering:pixelated; border:1px solid #333; max-width:100%; }
 #bar { margin:6px 0; }
 input { background:#222; color:#ccc; border:1px solid #444; width:22em; }
+#panel { display:flex; flex-wrap:wrap; gap:10px; align-items:center;
+  background:#1a1a1a; border:1px solid #333; padding:6px 8px; margin:6px 0; }
+#panel label { color:#8a8; }
+#panel input[type=number] { width:5em; }
+#panel input[type=range] { width:8em; vertical-align:middle; }
+#panel select, #panel button, #panel input {
+  background:#222; color:#ccc; border:1px solid #444; }
 </style></head><body>
 <div id="bar">vpt_tpu — keys: a/d/w/s orbit, +/- dolly, h/j/k/l pan,
  e/E exposure, f filmic, r restart &nbsp; <span id="st"></span></div>
+<div id="panel">
+ <label>shader <select id="p_shader"></select></label>
+ <label>camera <select id="p_camera"></select></label>
+ <label>resolution <input id="p_resolution" type="number" min="1" max="4096"/></label>
+ <label>samples <input id="p_samples" type="number" min="1" max="65536"/></label>
+ <label>bounces <input id="p_bounces" type="number" min="1" max="128"/></label>
+ <label>pratio <input id="p_pratio" type="number" min="1" max="64"/></label>
+ <label>exposure <input id="p_exposure" type="range" min="-5" max="5"
+   step="0.5"/> <span id="p_expv"></span></label>
+ <label>filmic <input id="p_filmic" type="checkbox"/></label>
+ <button id="p_restart">restart</button>
+</div>
 <div><input id="cmd" placeholder="command: shader pathtrace | samples 64 | bounces 8 | resolution 360 | pratio 4"/></div>
 <img id="view" src="/stream" draggable="false"/>
 <script>
 const img = document.getElementById("view");
 const st = document.getElementById("st");
+function send(c) { fetch("/cmd", {method: "POST", body: c}); }
+// ---- widget panel (reference imgui params window, ypathtrace.cpp:229-268):
+// every RenderParams edit as a form control posting the command grammar ----
+const SHADERS = ["volpathtrace","pathtrace","naive","eyelight","normal",
+                 "texcoord","color","implicit","implicit_normal"];
+const shSel = document.getElementById("p_shader");
+SHADERS.forEach(n => shSel.add(new Option(n, n)));
+shSel.addEventListener("change", () => send("shader " + shSel.value));
+const camSel = document.getElementById("p_camera");
+camSel.addEventListener("change", () => send(camSel.value));
+for (const k of ["resolution", "samples", "bounces", "pratio"]) {
+  const el = document.getElementById("p_" + k);
+  el.addEventListener("change", () => {
+    const v = Math.max(+el.min, Math.min(+el.max, Math.round(+el.value)));
+    el.value = v; send(k + " " + v);
+  });
+}
+const expEl = document.getElementById("p_exposure");
+const expV = document.getElementById("p_expv");
+let expSync = 0;
+expEl.addEventListener("change", () => {
+  // exposure moves in 0.5 steps via the e/E commands
+  const delta = +expEl.value - expSync;
+  const steps = Math.round(Math.abs(delta) / 0.5);
+  for (let i = 0; i < steps; i++) send(delta > 0 ? "e" : "E");
+  expSync += Math.sign(delta) * steps * 0.5;
+  expV.textContent = expSync.toFixed(1);
+});
+document.getElementById("p_filmic").addEventListener("change", () => send("f"));
+document.getElementById("p_restart").addEventListener("click", () => send("r"));
+let editing = null;
+document.querySelectorAll("#panel input, #panel select").forEach(el => {
+  el.addEventListener("focus", () => editing = el);
+  el.addEventListener("blur", () => editing = null);
+});
 async function tick() {
   try {
     const s = await (await fetch("/status")).json();
     st.textContent = s.samples + " spp  " + s.width + "x" + s.height;
+    const set = (id, v) => {
+      const el = document.getElementById(id);
+      if (el !== editing && document.activeElement !== el) el.value = v;
+    };
+    set("p_shader", s.shader);
+    set("p_resolution", s.resolution); set("p_samples", s.samples_target);
+    set("p_bounces", s.bounces); set("p_pratio", s.pratio);
+    if (editing !== expEl) { expEl.value = s.exposure; expSync = s.exposure;
+      expV.textContent = (+s.exposure).toFixed(1); }
+    document.getElementById("p_filmic").checked = s.filmic;
+    if (camSel.length !== s.n_cameras) {
+      camSel.length = 0;
+      for (let i = 1; i <= s.n_cameras; i++)
+        camSel.add(new Option("camera " + i, String(i)));
+    }
+    if (camSel !== editing) camSel.value = String(s.camera + 1);
   } catch (e) {}
   setTimeout(tick, 500);
 }
 tick();
-function send(c) { fetch("/cmd", {method: "POST", body: c}); }
 // pointer-drag turntable (reference: alt+mouse in the GLFW window,
 // ypathtrace.cpp:269-297 — rotate = delta/100; shift/right-drag pans)
 let drag = null, acc = [0, 0], accMode = "orbit", flushTimer = null;
@@ -165,6 +234,14 @@ class ViewerServer:
                         "height": s.renderer.height,
                         "shader": s.params.shader,
                         "bounces": s.params.bounces,
+                        # widget-panel state (reference imgui params window)
+                        "samples_target": s.params.samples,
+                        "resolution": s.params.resolution,
+                        "pratio": s.params.pratio,
+                        "exposure": s.exposure,
+                        "filmic": bool(s.filmic),
+                        "camera": s.params.camera,
+                        "n_cameras": len(s.renderer.scene.cameras),
                     }).encode()
                     self._send(200, "application/json", body)
                 else:
