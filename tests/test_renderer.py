@@ -187,6 +187,34 @@ def test_cli_json_config(tmp_path):
         main(["--scene", str(scene_dir / "scene.json"), "--config", str(cfg)])
 
 
+def test_prewarm_compiles_and_render_matches(tmp_path):
+    """Renderer.prewarm AOT-compiles the production pool program into the
+    persistent cache without rendering (round-5 cold-start path); a
+    subsequent render produces the same image as an un-prewarmed one, and
+    the CLI --prewarm flag exits before rendering."""
+    from vpt_tpu.cli import main
+    from vpt_tpu.scene.json_save import save_json_scene
+
+    params = RenderParams(shader="volpathtrace", samples=4, resolution=24,
+                          bounces=3)
+    scene = make_test_scene(sphere_steps=6)
+    r = Renderer(scene, params, devices=1)
+    secs = r.prewarm(samples=4)
+    assert secs > 0
+    img_pre, _ = r.render(samples=4)
+    img_ref, _ = Renderer(scene, params, devices=1).render(samples=4)
+    np.testing.assert_allclose(img_pre, img_ref, rtol=1e-6, atol=1e-7)
+
+    scene_dir = tmp_path / "sc"
+    scene_dir.mkdir()
+    save_json_scene(str(scene_dir / "scene.json"), scene)
+    out = tmp_path / "o.png"
+    main(["--scene", str(scene_dir / "scene.json"), "--output", str(out),
+          "--shader", "eyelight", "--samples", "1", "--resolution", "16",
+          "--prewarm"])
+    assert not out.exists()  # prewarm exits before rendering
+
+
 def test_real_scene_cpu_render_normal_aov():
     """Pin the CPU fallback on a real mesh scene (VERDICT r2 weak #2: the
     lock-step XLA traversal took 434s for exactly this render; the native

@@ -67,6 +67,10 @@ def main(argv=None):
                     help="JSON file of option defaults (yocto_cli.h:194 "
                          "add_option_with_config parity); explicit CLI flags "
                          "override config values")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile this scene/params' render program into "
+                         "the persistent cache and exit (later runs start "
+                         "warm; see PERF.md cold-start notes)")
     args = ap.parse_args(argv)
 
     if args.config:
@@ -141,6 +145,13 @@ def main(argv=None):
                 sys.stderr.write(f"validation: {e}\n")
             if not errs:
                 sys.stderr.write("validation: ok\n")
+    if args.prewarm:
+        secs = renderer.prewarm(samples=args.samples)
+        sys.stderr.write(
+            f"prewarm: compiled {renderer.width}x{renderer.height} "
+            f"{args.shader} program in {secs:.1f}s (persistent cache "
+            f"populated; identical future runs start warm)\n")
+        return
     sys.stderr.write(
         f"rendering {renderer.width}x{renderer.height} "
         f"{args.samples}spp {args.shader} "

@@ -350,6 +350,64 @@ class Renderer:
         state = RS.RenderState(accum=jnp.asarray(accum), samples=jnp.int32(n))
         return img, state
 
+    def _pool_batch(self, n: int) -> int:
+        # one queue for the whole render when the i32 item counter allows:
+        # fewer batch boundaries = fewer drain tails (64-cap only guards
+        # gigapixel x kilo-spp renders)
+        P = self.width * self.height
+        return max(1, min(256, n, (2 ** 31 - 1) // P))
+
+    def _get_pool_step(self, pool_cfg, b: int, single: bool,
+                       iters_per_step: int):
+        """Compiled pool program cache. The program depends on the batch
+        size, on whether this is a single-sample render (center-of-pixel
+        jitter), and on the shader config (params may be mutated in place
+        between render() calls, e.g. by the interactive viewer — ADVICE
+        r4); NOT on the total spp — cached across render() calls."""
+        from .render import pool as PL
+
+        if not hasattr(self, "_pool_steps"):
+            self._pool_steps = {}
+        R = min(self.width * self.height, 1 << 20)
+        cfg_key = tuple(sorted(
+            (k, repr(sorted(v) if isinstance(v, frozenset) else v))
+            for k, v in pool_cfg.items()))
+        key = (b, single, iters_per_step, self.params.camera,
+               self.width, self.height, cfg_key)
+        if key not in self._pool_steps:
+            raw = PL.make_pool_step(
+                self.lights, self.n_envs, camera=self.params.camera,
+                width=self.width, height=self.height, batch_samples=b,
+                total_samples=1 if single else 2,
+                iters_per_step=iters_per_step, n_lanes=R, **pool_cfg)
+            self._pool_steps[key] = jax.jit(raw, donate_argnums=(1,))
+        return self._pool_steps[key]
+
+    def prewarm(self, samples: int | None = None, iters_per_step=32):
+        """Compile this scene/params' production render program into the
+        persistent compile cache WITHOUT rendering (cold-start path,
+        PERF.md §6): run once — `--prewarm` on the CLI or tools/prewarm.py
+        — and every later process start is warm (~seconds instead of the
+        25-60 s cold XLA compile through the remote-compile tunnel).
+        Returns compile seconds."""
+        from .render import pool as PL
+
+        t0 = time.time()
+        n = samples if samples is not None else self.params.samples
+        pool_cfg = self._pool_config()
+        if pool_cfg is not None and self.n_devices == 1:
+            step = self._get_pool_step(
+                pool_cfg, self._pool_batch(n), n == 1, iters_per_step)
+            P = self.width * self.height
+            pst = PL.init_pool_state(min(P, 1 << 20), P)
+            step.lower(self.ds, pst, jnp.int32(0)).compile()
+        else:
+            state = RS.make_state(self.width, self.height)
+            self._step = self._build_step(8).lower(self.ds, state).compile()
+            self._chunk = 8
+        self.compile_seconds = time.time() - t0
+        return self.compile_seconds
+
     def _render_pool(self, n: int, progress, pool_cfg, iters_per_step=32):
         """Pool render loop (render/pool.py): sample batches of the global
         (pixel, sample) work queue; within a batch, dispatch
@@ -358,32 +416,10 @@ class Renderer:
 
         P = self.width * self.height
         R = min(P, 1 << 20)
-        # one queue for the whole render when the i32 item counter allows:
-        # fewer batch boundaries = fewer drain tails (64-cap only guards
-        # gigapixel x kilo-spp renders)
-        batch = max(1, min(256, n, (2 ** 31 - 1) // P))
-        if not hasattr(self, "_pool_steps"):
-            self._pool_steps = {}
+        batch = self._pool_batch(n)
 
         def get_step(b):
-            # the compiled program depends on the batch size, on whether
-            # this is a single-sample render (center-of-pixel jitter), and
-            # on the shader config (params may be mutated in place between
-            # render() calls, e.g. by the interactive viewer — ADVICE r4);
-            # NOT on the total spp — cache across render() calls
-            cfg_key = tuple(sorted(
-                (k, repr(sorted(v) if isinstance(v, frozenset) else v))
-                for k, v in pool_cfg.items()))
-            key = (b, n == 1, iters_per_step, self.params.camera,
-                   self.width, self.height, cfg_key)
-            if key not in self._pool_steps:
-                raw = PL.make_pool_step(
-                    self.lights, self.n_envs, camera=self.params.camera,
-                    width=self.width, height=self.height, batch_samples=b,
-                    total_samples=1 if n == 1 else 2,
-                    iters_per_step=iters_per_step, n_lanes=R, **pool_cfg)
-                self._pool_steps[key] = jax.jit(raw, donate_argnums=(1,))
-            return self._pool_steps[key]
+            return self._get_pool_step(pool_cfg, b, n == 1, iters_per_step)
 
         t0 = time.time()
         pst = PL.init_pool_state(R, P)
