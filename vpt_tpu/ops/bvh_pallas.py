@@ -54,13 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.vecmath import FLT_MAX, RAY_EPS
 
+import os as _os
+
 LANES = 128
-BLOCK_ROWS = 32          # 32 x 128 = 4096 rays per packet (round-4 sweep:
-                         # with Morton-sorted bounce rays, 32 rows beat 16
-                         # by ~8% coherent / ~5% incoherent)
+# 32 x 128 = 4096 rays per packet (round-4 sweep: with Morton-sorted
+# bounce rays, 32 rows beat 16 by ~8% coherent / ~5% incoherent).
+# Env-overridable for tuning sweeps (tools/traversal_sweep.py).
+BLOCK_ROWS = int(_os.environ.get("VPT_PALLAS_BLOCK_ROWS", 32))
 ISTACK_DEPTH = 96        # internal-node stack
 LSTACK_DEPTH = 96        # leaf stack (leaf-priority keeps it shallow)
-POPS = 2                 # record pops per while-loop iteration
+POPS = int(_os.environ.get("VPT_PALLAS_POPS", 2))  # pops per loop iteration
 RESIDENT_BYTES = 10 * 1024 * 1024  # VMEM-resident BVH budget
 NEG_INF = float(np.float32(-np.inf))
 
