@@ -248,3 +248,23 @@ def test_bvh_refit_tracks_moved_geometry():
     assert h.sum() >= 20
     np.testing.assert_allclose(
         np.asarray(res["dist"])[h], np.asarray(ref["dist"])[h], rtol=1e-5)
+
+
+def test_batcher_network_sorts():
+    """The generated Batcher odd-even mergesort network (used for node
+    widths other than 8; the 8-wide network is the historical hand-written
+    sequence) must sort every input, including duplicates."""
+    import random
+
+    from vpt_tpu.ops.bvh_pallas import _batcher_pairs
+
+    rng = random.Random(7)
+    for n in (4, 8, 16):
+        net = _batcher_pairs(n)
+        for _ in range(500):
+            a = [rng.randint(0, 9) for _ in range(n)]
+            b = a[:]
+            for i, j in net:
+                if b[i] > b[j]:
+                    b[i], b[j] = b[j], b[i]
+            assert b == sorted(a)

@@ -68,8 +68,29 @@ RESIDENT_BYTES = 10 * 1024 * 1024  # VMEM-resident BVH budget
 NEG_INF = float(np.float32(-np.inf))
 
 
-NODE_WIDTH = 8           # children per packed node row (8x6 slabs + 8 refs
-                         # + pad = 56 <= 128 lanes)
+# children per packed node row: 8 -> 8x6 slabs + 8 refs = 56 lanes;
+# 16 -> 96 + 16 = 112 lanes (still one 128-lane row). Wider nodes halve
+# internal pops again at the same per-pop VPU cost per child tested.
+NODE_WIDTH = int(_os.environ.get("VPT_PALLAS_NODE_WIDTH", 8))
+
+
+def _batcher_pairs(n):
+    """Batcher odd-even mergesort comparator network for n lanes (the
+    8-lane network in pop_internal is this sequence for n=8; wider node
+    records generate theirs). Verified against random permutations in
+    tests/test_bvh.py."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
 
 
 class PallasBvh(NamedTuple):
@@ -187,17 +208,19 @@ def from_bvh_arrays(bvh) -> PallasBvh:
     assert ids.max(initial=0) < (1 << 24), "triangle ids exceed f32 exactness"
     leaf_rec[:, ls * 9:] = ids.astype(np.float32)
     N, L = node_rec.shape[0], leaf_rec.shape[0]
+    W = NODE_WIDTH
+    assert 7 * W <= LANES, f"{W}-wide node records exceed a 128-lane row"
     slabs8, refs8 = _collapse8(node_rec)
-    # 8-wide nodes can push up to 8 internal children per pop; a silent
-    # SMEM stack overflow would corrupt traversal (ADVICE r4). The packed
-    # tree's worst-case requirement is checked at pack time.
+    # wide nodes can push up to NODE_WIDTH internal children per pop; a
+    # silent SMEM stack overflow would corrupt traversal (ADVICE r4). The
+    # packed tree's worst-case requirement is checked at pack time.
     ibound, lbound = _stack_bounds(refs8, int(bvh.root))
     assert ibound <= ISTACK_DEPTH and lbound <= LSTACK_DEPTH, (
         f"BVH traversal stack bound ({ibound} internal / {lbound} leaf) "
         f"exceeds the kernel's SMEM stacks ({ISTACK_DEPTH}/{LSTACK_DEPTH})")
     nodes = np.zeros((N, LANES), np.float32)
-    nodes[:, :48] = slabs8.reshape(N, 48)
-    nodes[:, 48:56] = refs8.astype(np.float32)
+    nodes[:, :6 * W] = slabs8.reshape(N, 6 * W)
+    nodes[:, 6 * W:7 * W] = refs8.astype(np.float32)
     leaves = np.full((L, LANES), -1.0, np.float32)
     leaves[:, : ls * 10] = leaf_rec
     return PallasBvh(nodes=nodes, leaves=leaves, root=np.int32(bvh.root))
@@ -317,7 +340,8 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             ref_s.append(jnp.where(any_k, kid, -1))
 
         # sort children far-to-near (descending key => nearest popped first):
-        # Batcher odd-even merge network for 8
+        # Batcher odd-even merge network (the historical hand-written
+        # sequence for 8-wide nodes; generated for other widths)
         def cswap(i, j):
             swap = tn_s[i] < tn_s[j]
             tn_s[i], tn_s[j] = (jnp.where(swap, tn_s[j], tn_s[i]),
@@ -325,10 +349,11 @@ def _kernel(root_ref, nodes_ref, leaves_ref,
             ref_s[i], ref_s[j] = (jnp.where(swap, ref_s[j], ref_s[i]),
                                   jnp.where(swap, ref_s[i], ref_s[j]))
 
-        for i, j in ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
-                     (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
-                     (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
-                     (3, 4)):
+        net = ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3),
+               (4, 6), (5, 7), (1, 2), (5, 6), (0, 4), (3, 7),
+               (1, 5), (2, 6), (1, 4), (3, 6), (2, 4), (3, 5),
+               (3, 4)) if NODE_WIDTH == 8 else _batcher_pairs(NODE_WIDTH)
+        for i, j in net:
             cswap(i, j)
 
         for k in range(NODE_WIDTH):
