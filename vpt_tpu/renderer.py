@@ -284,7 +284,7 @@ class Renderer:
             env_meta=self._env_meta())
 
     def _render_pool_sharded(self, n: int, progress, pool_cfg,
-                             iters_per_step=32):
+                             iters_per_step=None):
         """Sharded pool render: per-device work queues over a pixel-major
         partition (render/pool.py make_sharded_pool_step). Keeps pool-class
         throughput on multi-device renders (VERDICT r4: sharded renders
@@ -298,6 +298,8 @@ class Renderer:
         P_loc = -(-P // n_dev)
         R_loc = min(P_loc, (1 << 20) // n_dev)
         batch = max(1, min(256, n, (2 ** 31 - 1) // (P_loc * n_dev)))
+        if iters_per_step is None:
+            iters_per_step = self._auto_iters(P_loc, batch, R_loc)
         if not hasattr(self, "_pool_steps"):
             self._pool_steps = {}
 
@@ -383,7 +385,7 @@ class Renderer:
             self._pool_steps[key] = jax.jit(raw, donate_argnums=(1,))
         return self._pool_steps[key]
 
-    def prewarm(self, samples: int | None = None, iters_per_step=32):
+    def prewarm(self, samples: int | None = None, iters_per_step=None):
         """Compile this scene/params' production render program into the
         persistent compile cache WITHOUT rendering (cold-start path,
         PERF.md §6): run once — `--prewarm` on the CLI or tools/prewarm.py
@@ -396,8 +398,11 @@ class Renderer:
         n = samples if samples is not None else self.params.samples
         pool_cfg = self._pool_config()
         if pool_cfg is not None and self.n_devices == 1:
-            step = self._get_pool_step(
-                pool_cfg, self._pool_batch(n), n == 1, iters_per_step)
+            b = self._pool_batch(n)
+            P = self.width * self.height
+            if iters_per_step is None:  # must match _render_pool's choice
+                iters_per_step = self._auto_iters(P, b, min(P, 1 << 20))
+            step = self._get_pool_step(pool_cfg, b, n == 1, iters_per_step)
             P = self.width * self.height
             pst = PL.init_pool_state(min(P, 1 << 20), P)
             step.lower(self.ds, pst, jnp.int32(0)).compile()
@@ -408,7 +413,17 @@ class Renderer:
         self.compile_seconds = time.time() - t0
         return self.compile_seconds
 
-    def _render_pool(self, n: int, progress, pool_cfg, iters_per_step=32):
+    @staticmethod
+    def _auto_iters(P_local: int, b: int, R: int) -> int:
+        """Pool iterations per dispatch. Every dispatch pays a fixed
+        host-loop + tunnel cost that measured ~3-5 s on short-path scenes
+        (r5 sweep on 04_head1: 32 -> 64 iters/dispatch = 2.3x wall);
+        items-per-lane lower-bounds the real iteration count, so sizing
+        the dispatch to it keeps dispatch counts ~E[path length] (small)
+        while bounding drained-tail waste to under one dispatch."""
+        return min(128, max(32, (P_local * b) // max(R, 1)))
+
+    def _render_pool(self, n: int, progress, pool_cfg, iters_per_step=None):
         """Pool render loop (render/pool.py): sample batches of the global
         (pixel, sample) work queue; within a batch, dispatch
         fixed-iteration chunks until the queue drains."""
@@ -417,6 +432,8 @@ class Renderer:
         P = self.width * self.height
         R = min(P, 1 << 20)
         batch = self._pool_batch(n)
+        if iters_per_step is None:
+            iters_per_step = self._auto_iters(P, batch, R)
 
         def get_step(b):
             return self._get_pool_step(pool_cfg, b, n == 1, iters_per_step)
