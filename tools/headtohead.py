@@ -139,7 +139,10 @@ def main():
                          spheretrace_maxiter=maxiter or 450)
         r = Renderer(ref_scene, p)
         chunk = 8
-        r.render(samples=min(8, spp), chunk=chunk)  # compile + warm
+        # warm at the FULL spp: the pool program is keyed by the sample
+        # batch size, so a small-spp warm-up would leave the timed run
+        # paying a compile for the real batch
+        r.render(samples=spp, chunk=chunk)
         t0 = time.time()
         img, _ = r.render(samples=spp, chunk=chunk)
         wall = time.time() - t0
