@@ -64,9 +64,11 @@ def bench_implicit():
 
 def bench_published_config():
     """The reference's published lowres config for 03_volume
-    (run.sh:6-10): 720 px, bounces 64. Measured as a warm 64-spp render;
-    the C++ reference ran 372k paths/s at this config on this host
-    (PERF.md §1)."""
+    (run.sh:6-10): 720 px, 256 spp, bounces 64 — warmed and timed at the
+    FULL 256 spp (round 5: the pool program and its dispatch sizing are
+    keyed by the sample batch, so a 64-spp proxy under-measured it). The
+    C++ reference ran 372k paths/s at this config on this host
+    (PERF.md §1; re-measured 382k in the round-5 head-to-head)."""
     import time
 
     from vpt_tpu.renderer import Renderer, RenderParams
@@ -74,11 +76,11 @@ def bench_published_config():
     p = RenderParams(shader="volpathtrace", samples=256, resolution=720,
                      bounces=64)
     r = Renderer(SCENE, p)
-    r.render(samples=64)  # compile + warm
+    r.render(samples=256)  # compile + warm
     t0 = time.time()
-    r.render(samples=64)
+    r.render(samples=256)
     dt = time.time() - t0
-    return 64 * r.width * r.height / dt
+    return 256 * r.width * r.height / dt
 
 
 def bench_implicit_fwdbwd():
