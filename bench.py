@@ -77,10 +77,11 @@ def bench_published_config():
                      bounces=64)
     r = Renderer(SCENE, p)
     r.render(samples=256)  # compile + warm
+    compile_s = float(getattr(r, "compile_seconds", 0.0))
     t0 = time.time()
     r.render(samples=256)
     dt = time.time() - t0
-    return 256 * r.width * r.height / dt
+    return 256 * r.width * r.height / dt, compile_s
 
 
 def bench_implicit_fwdbwd():
@@ -175,7 +176,7 @@ def main():
     r = Renderer(SCENE, params)
     fwd = bench_forward(r)
     fwdbwd, flops_per_sec = bench_fwd_bwd(r)
-    pub = bench_published_config()
+    pub, pub_compile_s = bench_published_config()
     implicit = bench_implicit()
     implicit_grad = bench_implicit_fwdbwd()
     extra = {
@@ -191,6 +192,10 @@ def main():
         "fwd_vs_ref_cpu": round(fwd / REF_CPU_PATHS_PER_SEC, 3),
         "published_720px_b64_paths_per_sec": round(pub, 1),
         "published_720px_b64_vs_ref_cpu": round(pub / 372_000.0, 3),
+        # pool-program compile for the published config on THIS run —
+        # persistent-cache hits are seconds; cold ~25-75 s (PERF.md §6;
+        # prewarm via `--prewarm` / tools/prewarm.py)
+        "published_compile_s": round(pub_compile_s, 1),
         "fwdbwd_vs_round2": round(fwdbwd / ROUND2_FWDBWD_PATHS_PER_SEC, 3),
         "ref_cpu_paths_per_sec": REF_CPU_PATHS_PER_SEC,
         "ref_cpu_note": ("compiled C++ reference, 2-core host, fwd-only "
