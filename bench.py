@@ -89,7 +89,12 @@ def bench_implicit_fwdbwd():
     SDF grid values): render 06_gridsdf through make_implicit_shader, L2
     loss, backward to all diff params INCLUDING grid_values (IFT
     reattach_t geometry gradients). VERDICT r4 ask #4 — correctness was
-    tested (test_grad_sdf_grid_*) but never benched."""
+    tested (test_grad_sdf_grid_*) but never benched.
+
+    S=4 is the measured optimum of the sample mini-batch
+    (tools/implicit_grad_sweep.py: S=2 64.3k, S=4 71.2k, S=8 OOM — grad
+    residuals need 31.9G vs 15.75G HBM; the march itself is nondiff via
+    the IFT reattach, the residuals are the shading/normal tape)."""
     import numpy as np
 
     import jax
@@ -98,7 +103,7 @@ def bench_implicit_fwdbwd():
     from vpt_tpu.parallel.mesh import extract_params, make_grad_step, make_mesh
     from vpt_tpu.renderer import Renderer, RenderParams
 
-    S = 2
+    S = 4
     p = RenderParams(shader="implicit", samples=16, resolution=360,
                      bounces=4, spheretrace_maxiter=450)
     r = Renderer("/root/reference/tests/06_gridsdf/gridsdf.json", p)
