@@ -108,6 +108,14 @@ def test_pallas_packet_matches_xla_traversal(monkeypatch):
     trisp, bvh, o, d, alive = _sphere_scene_rays()
     bvh_d = jax.tree.map(jnp.asarray, bvh)
     pb = jax.tree.map(jnp.asarray, from_bvh_arrays(bvh))
+    # packed-layout pin (review r5): empty (ref == -1) child slots carry
+    # zeroed slab floats — leaf (<= -2) and internal (>= 0) slots do not
+    # (byte-level consumers of the documented layout rely on this)
+    nodes = np.asarray(pb.nodes)
+    refs = nodes[:, 48:56].astype(np.int64)  # refs stored as exact f32
+    slabs = nodes[:, :48].reshape(-1, 8, 6)
+    assert (refs == -1).any()
+    assert (slabs[refs == -1] == 0.0).all()
     ref = intersect_bvh(bvh_d, jnp.asarray(trisp), jnp.asarray(o),
                         jnp.asarray(d), alive=jnp.asarray(alive))
     new = intersect_bvh_pallas(pb, jnp.asarray(o), jnp.asarray(d),

@@ -215,6 +215,35 @@ def test_prewarm_compiles_and_render_matches(tmp_path):
     assert not out.exists()  # prewarm exits before rendering
 
 
+def test_prewarm_warms_the_program_render_uses():
+    """prewarm must compile exactly the programs render() executes (review
+    r5 findings: the multi-device branch warmed the sharded SCAN while
+    render() routes pool configs to the sharded POOL; the scan branch
+    hardcoded chunk=8 while render(samples=1) runs a chunk-1 program)."""
+    scene = make_test_scene(sphere_steps=6)
+
+    # multi-device pool config -> the sharded-pool cache must be populated
+    # and render() must not add any new compiled program entries
+    params = RenderParams(shader="volpathtrace", samples=2, resolution=24,
+                          bounces=3)
+    rN = Renderer(scene, params, devices=2)
+    rN.prewarm(samples=2)
+    keys = set(rN._pool_steps)
+    assert any(k[0] == "sharded" for k in keys), keys
+    rN.render(samples=2)
+    assert set(rN._pool_steps) == keys  # render reused the warmed program
+
+    # scan path (eyelight, samples=1) -> prewarm must build the chunk-1
+    # program render() will run, not a chunk-8 one
+    p1 = RenderParams(shader="eyelight", samples=1, resolution=24)
+    r1 = Renderer(scene, p1, devices=1)
+    r1.prewarm(samples=1)
+    assert r1._chunk == 1
+    step = r1._step
+    r1.render(samples=1)
+    assert r1._step is step  # render reused the prewarmed program
+
+
 def test_real_scene_cpu_render_normal_aov():
     """Pin the CPU fallback on a real mesh scene (VERDICT r2 weak #2: the
     lock-step XLA traversal took 434s for exactly this render; the native

@@ -100,9 +100,8 @@ def main():
     r1 = Renderer(make_test_scene(), params, devices=1)
     t_plain = args.samples * r1.width * r1.height / pool_rate(r1, args.samples)
     cfg = r1._pool_config()
-    t0 = time.time()
     r1._render_pool_sharded(args.samples, None, cfg)
-    r1._render_pool_sharded(args.samples, None, cfg)  # warm is 2nd
+    r1._render_pool_sharded(args.samples, None, cfg)  # warm-up (compiles)
     t0 = time.time()
     r1._render_pool_sharded(args.samples, None, cfg)
     t_shard1 = time.time() - t0

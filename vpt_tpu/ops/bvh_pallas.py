@@ -164,6 +164,11 @@ def _collapse8(node_rec):
         refs = np.where(change[:, None], new_refs, refs)
         slabs = np.where(change[:, None, None], new_slabs, slabs)
         cnt = np.where(change, cnt - 1 + k, cnt)
+    # zero the slab floats of empty (ref == -1) slots: the left-pack above
+    # copies stale slab columns for holes, and while traversal masks on
+    # kid != -1, the documented packed layout (and any byte-level consumer)
+    # expects zeroed empties like the sequential collapse produced
+    slabs = np.where((refs != -1)[..., None], slabs, np.float32(0.0))
     return slabs, refs
 
 

@@ -283,42 +283,66 @@ class Renderer:
             opacity_extra=opacity_extra, can_opacity=has_opacity,
             env_meta=self._env_meta())
 
+    @staticmethod
+    def _pool_cfg_key(pool_cfg):
+        """Hashable form of a pool shader config — the ONE cache-key recipe
+        shared by the single-device and sharded pool program caches (a
+        key addition applied to only one of them would reintroduce the
+        ADVICE-r4 stale-program bug on the other)."""
+        return tuple(sorted(
+            (k, repr(sorted(v) if isinstance(v, frozenset) else v))
+            for k, v in pool_cfg.items()))
+
+    def _sharded_pool_plan(self, n: int):
+        """Sharded-pool sizing — render and prewarm must agree on these
+        (n_dev, P_loc, R_loc, batch) or prewarm compiles the wrong
+        program."""
+        n_dev = self.n_devices
+        P = self.width * self.height
+        P_loc = -(-P // n_dev)
+        R_loc = min(P_loc, (1 << 20) // n_dev)
+        batch = max(1, min(256, n, (2 ** 31 - 1) // (P_loc * n_dev)))
+        return n_dev, P_loc, R_loc, batch
+
+    def _get_sharded_pool_step(self, mesh, pool_cfg, b: int, single: bool,
+                               iters_per_step: int, R_loc: int, P_loc: int):
+        """Compiled sharded-pool program cache (counterpart of
+        _get_pool_step; same key recipe via _pool_cfg_key)."""
+        from .render import pool as PL
+
+        if not hasattr(self, "_pool_steps"):
+            self._pool_steps = {}
+        key = ("sharded", self.n_devices, b, single, iters_per_step,
+               self.params.camera, self.width, self.height,
+               self._pool_cfg_key(pool_cfg))
+        if key not in self._pool_steps:
+            self._pool_steps[key] = PL.make_sharded_pool_step(
+                mesh, n_lanes_per_shard=R_loc, pixels_per_shard=P_loc,
+                lights=self.lights, n_envs=self.n_envs,
+                camera=self.params.camera,
+                width=self.width, height=self.height, batch_samples=b,
+                total_samples=1 if single else 2,
+                iters_per_step=iters_per_step, n_lanes=R_loc,
+                **pool_cfg)
+        return self._pool_steps[key]
+
     def _render_pool_sharded(self, n: int, progress, pool_cfg,
                              iters_per_step=None):
         """Sharded pool render: per-device work queues over a pixel-major
         partition (render/pool.py make_sharded_pool_step). Keeps pool-class
         throughput on multi-device renders (VERDICT r4: sharded renders
         previously fell back to the per-sample scan)."""
-        from .render import pool as PL
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(self.n_devices)
-        n_dev = self.n_devices
+        n_dev, P_loc, R_loc, batch = self._sharded_pool_plan(n)
         P = self.width * self.height
-        P_loc = -(-P // n_dev)
-        R_loc = min(P_loc, (1 << 20) // n_dev)
-        batch = max(1, min(256, n, (2 ** 31 - 1) // (P_loc * n_dev)))
         if iters_per_step is None:
             iters_per_step = self._auto_iters(P_loc, batch, R_loc)
-        if not hasattr(self, "_pool_steps"):
-            self._pool_steps = {}
 
         def get_step(b):
-            cfg_key = tuple(sorted(
-                (k, repr(sorted(v) if isinstance(v, frozenset) else v))
-                for k, v in pool_cfg.items()))
-            key = ("sharded", n_dev, b, n == 1, iters_per_step,
-                   self.params.camera, self.width, self.height, cfg_key)
-            if key not in self._pool_steps:
-                self._pool_steps[key] = PL.make_sharded_pool_step(
-                    mesh, n_lanes_per_shard=R_loc, pixels_per_shard=P_loc,
-                    lights=self.lights, n_envs=self.n_envs,
-                    camera=self.params.camera,
-                    width=self.width, height=self.height, batch_samples=b,
-                    total_samples=1 if n == 1 else 2,
-                    iters_per_step=iters_per_step, n_lanes=R_loc,
-                    **pool_cfg)
-            return self._pool_steps[key]
+            return self._get_sharded_pool_step(
+                mesh, pool_cfg, b, n == 1, iters_per_step, R_loc, P_loc)
 
         t0 = time.time()
         first = True
@@ -371,11 +395,8 @@ class Renderer:
         if not hasattr(self, "_pool_steps"):
             self._pool_steps = {}
         R = min(self.width * self.height, 1 << 20)
-        cfg_key = tuple(sorted(
-            (k, repr(sorted(v) if isinstance(v, frozenset) else v))
-            for k, v in pool_cfg.items()))
         key = (b, single, iters_per_step, self.params.camera,
-               self.width, self.height, cfg_key)
+               self.width, self.height, self._pool_cfg_key(pool_cfg))
         if key not in self._pool_steps:
             raw = PL.make_pool_step(
                 self.lights, self.n_envs, camera=self.params.camera,
@@ -403,13 +424,42 @@ class Renderer:
             if iters_per_step is None:  # must match _render_pool's choice
                 iters_per_step = self._auto_iters(P, b, min(P, 1 << 20))
             step = self._get_pool_step(pool_cfg, b, n == 1, iters_per_step)
-            P = self.width * self.height
             pst = PL.init_pool_state(min(P, 1 << 20), P)
             step.lower(self.ds, pst, jnp.int32(0)).compile()
+            if n % b:  # the final partial sample batch is its own program
+                tail = self._get_pool_step(pool_cfg, n % b, n == 1,
+                                           iters_per_step)
+                tail.lower(self.ds, pst, jnp.int32(0)).compile()
+        elif pool_cfg is not None:
+            # multi-device: render() routes to _render_pool_sharded, so
+            # that is the program to warm (previously this branch compiled
+            # the sharded SCAN program, which the real render never used)
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh(self.n_devices)
+            n_dev, P_loc, R_loc, batch = self._sharded_pool_plan(n)
+            if iters_per_step is None:
+                iters_per_step = self._auto_iters(P_loc, batch, R_loc)
+            b = min(batch, n)
+            step, init = self._get_sharded_pool_step(
+                mesh, pool_cfg, b, n == 1, iters_per_step, R_loc, P_loc)
+            step.lower(self.ds, init(), jnp.int32(0)).compile()
+            if n % b:  # the final partial sample batch is its own program
+                tail, tinit = self._get_sharded_pool_step(
+                    mesh, pool_cfg, n % b, n == 1, iters_per_step,
+                    R_loc, P_loc)
+                tail.lower(self.ds, tinit(), jnp.int32(0)).compile()
         else:
+            # scan path: mirror render()'s chunking exactly — chunk
+            # max(1, min(8, n)), plus the chunk-1 tail program render()
+            # compiles when n is not a multiple of the chunk
+            chunk = max(1, min(8, n))
             state = RS.make_state(self.width, self.height)
-            self._step = self._build_step(8).lower(self.ds, state).compile()
-            self._chunk = 8
+            self._step = self._build_step(chunk).lower(
+                self.ds, state).compile()
+            self._chunk = chunk
+            if n % chunk:
+                self._build_step(1).lower(self.ds, state).compile()
         self.compile_seconds = time.time() - t0
         return self.compile_seconds
 
