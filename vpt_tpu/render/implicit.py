@@ -33,9 +33,13 @@ def eval_material_untextured(ds, mat_id) -> B.MaterialPoint:
     trdepth = ds.mat_trdepth[mat_id]
     volumetric_like = (
         (mtype == B.REFRACTIVE) | (mtype == B.VOLUMETRIC) | (mtype == B.SUBSURFACE))
+    # double-where (see sceneval.py): trdepth is 0 for non-volumetric
+    # materials, and log(1)/0 = NaN in the unselected branch poisons
+    # reverse-mode gradients of mat_color
+    safe_tr = jnp.where(volumetric_like, trdepth, 1.0)[..., None]
     density = jnp.where(
         volumetric_like[..., None],
-        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / trdepth[..., None], 0.0)
+        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / safe_tr, 0.0)
     clamped = (mtype == B.MATTE) | (mtype == B.GLTFPBR) | (mtype == B.GLOSSY)
     roughness = jnp.where(
         clamped, jnp.clip(roughness, B.MIN_ROUGHNESS, 1.0),

@@ -152,9 +152,15 @@ def make_bounce_body(lights, n_envs: int, *, bounces: int,
                 in_vol, jnp.minimum(dist_surf, 1e30), 1.0)
             t_dist = V.sample_transmittance(st.vol_density, safe_surf, u(0), u(1))
             t_dist = jnp.where(in_vol, jnp.minimum(t_dist, 1e30), 0.5)
-            w_tr = V.eval_transmittance(st.vol_density, t_dist) / jnp.maximum(
-                V.sample_transmittance_pdf(st.vol_density, t_dist, safe_surf),
-                1e-30)[..., None]
+            # denominator 1.0 for masked lanes and a 1e-12 floor for live
+            # ones: a 1e-30 floor made the division's own VJP compute
+            # -T/m^2 = 1e60 -> f32 inf, and inf x masked-0-cotangent = NaN
+            # poisoning every material gradient
+            tr_pdf = V.sample_transmittance_pdf(
+                st.vol_density, t_dist, safe_surf)
+            tr_den = jnp.where(in_vol, jnp.maximum(tr_pdf, 1e-12), 1.0)
+            w_tr = V.eval_transmittance(
+                st.vol_density, t_dist) / tr_den[..., None]
             weight = jnp.where(in_vol[..., None], st.weight * w_tr, st.weight)
             in_scatter = in_vol & (t_dist < dist_surf)
         else:

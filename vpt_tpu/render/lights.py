@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -265,6 +266,12 @@ def sample_lights_pdf(ds, lights, position, direction, spheretrace_fn=None):
         elif light.kind == KIND_ENV and light.env_tex >= 0:
             frame = ds.env_frame[light.id]
             wl = transform_direction(frame_inverse(frame), direction)
+            # tx/ty only ever feed the INTEGER texel selection below, whose
+            # true derivative is zero a.e. — stop the gradient here so the
+            # arctan2 VJP (NaN at the zero vector: dead lanes carry
+            # direction = 0) and the arccos VJP (inf at |y| = 1) cannot
+            # poison the backward pass (0-cotangent x NaN-partial = NaN)
+            wl = jax.lax.stop_gradient(wl)
             tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2 * PIF)
             tx = jnp.where(tx < 0, tx + 1.0, tx)
             ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF

@@ -287,9 +287,15 @@ def _material_from(ds, mat_id, texcoord, color_shp,
     volumetric_like = (
         (mtype == REFRACTIVE) | (mtype == VOLUMETRIC) | (mtype == SUBSURFACE)
     )
+    # double-where: non-volumetric materials have trdepth 0, and the
+    # unselected branch would compute log(1)/0 = NaN — harmless in the
+    # primal (masked) but its VJP poisons EVERY mat_color row through the
+    # one-hot matmul (0-cotangent x NaN-partial = NaN). The denominator
+    # must be sanitized before the division happens.
+    safe_tr = jnp.where(volumetric_like, trdepth, 1.0)[..., None]
     density = jnp.where(
         volumetric_like[..., None],
-        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / trdepth[..., None],
+        -jnp.log(jnp.clip(color, 1e-4, 1.0)) / safe_tr,
         0.0,
     )
 
@@ -416,9 +422,17 @@ def eval_environment(ds, direction, n_envs: int, env_meta=None):
     for e in range(n_envs):
         frame = ds.env_frame[e]
         wl = transform_direction(frame_inverse(frame), direction)
-        tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2 * PIF)
+        # texcoords feed BILINEAR taps here, so direction gradients are
+        # real — sanitize only the two singular inputs instead of stopping
+        # the gradient: arctan2's VJP is 0/0 = NaN at the zero vector
+        # (dead lanes carry direction = 0), arccos's is -1/sqrt(1-y^2) =
+        # inf at the poles; both NaN-poison the whole backward pass
+        wx, wz = wl[..., 0], wl[..., 2]
+        deg = (jnp.abs(wx) < 1e-20) & (jnp.abs(wz) < 1e-20)
+        tx = jnp.arctan2(wz, jnp.where(deg, 1.0, wx)) / (2 * PIF)
         tx = jnp.where(tx < 0, tx + 1.0, tx)
-        ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / PIF
+        wy = jnp.clip(wl[..., 1], -(1.0 - 1e-12), 1.0 - 1e-12)
+        ty = jnp.arccos(wy) / PIF
         texcoord = jnp.stack([tx, ty], axis=-1)
         if env_meta is not None and env_meta[e] is not None:
             off, w, h, lin = env_meta[e]
